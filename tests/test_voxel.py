@@ -1,0 +1,161 @@
+"""Golden tests for the device voxel kernels (SURVEY.md §4 implication:
+unit tests the reference lacks — simulator kernel vs numpy golden,
+train/test voxelizer parity)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from v2v_tpu.ops import voxel as vx
+from golden_esim import golden_video_to_voxel
+
+
+def _rand_video(n=21, h=32, w=48, seed=0):
+    rng = np.random.RandomState(seed)
+    # smooth-ish video: random walk of a base image
+    base = rng.randint(0, 256, (h, w)).astype(np.float32)
+    frames = [base]
+    for _ in range(n - 1):
+        base = np.clip(base + rng.randn(h, w) * 8, 0, 255)
+        frames.append(base)
+    return np.stack(frames)
+
+
+def _agree(a, b, frac=1e-4):
+    """Exact equality on all but a tiny fraction of entries (float32
+    boundary effects at the quantization threshold), never off by >1."""
+    diff = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+    assert (diff > 0).mean() <= frac, f"mismatch frac {(diff > 0).mean()}"
+    assert diff.max() <= 1.0 + 1e-6, f"max diff {diff.max()}"
+
+
+def test_esim_noise_free_matches_golden():
+    video = _rand_video()
+    got = vx.esim_video_to_voxel(
+        jnp.asarray(video),
+        vx.SimParams(jnp.float32(0.3), jnp.float32(0.25),
+                     jnp.float32(0), jnp.float32(0), jnp.float32(0)))
+    want = golden_video_to_voxel(video, pos_thres=0.3, neg_thres=0.25)
+    _agree(got, want)
+
+
+def test_esim_with_explicit_noise_matches_golden():
+    video = _rand_video(seed=1)
+    n, h, w = video.shape
+    rng = np.random.RandomState(2)
+    base_noise = (rng.randn(n - 1, h, w) * 0.05).astype(np.float32)
+    hot = np.zeros((h, w), np.float32)
+    hot[rng.rand(h, w) < 0.002] = 0.5
+    init_pot = (rng.rand(h, w).astype(np.float32) * 0.5 - 0.2)
+
+    params = vx.SimParams(jnp.float32(0.3), jnp.float32(0.2),
+                          jnp.float32(0), jnp.float32(0), jnp.float32(0))
+    # inject noise through the internal step function by running the scan
+    # manually: equivalent semantics check via put_noise_external=False
+    # golden with same noise tensors and potential.
+    log_imgs = np.log(0.001 + (video / 255.0) ** 2.2)
+    diffs = jnp.asarray(log_imgs[1:] - log_imgs[:-1], jnp.float32)
+
+    def step(pot, xs):
+        diff, noise = xs
+        pot = pot + diff + noise + jnp.asarray(hot)
+        counts, pot = vx._quantize_events(pot, params.pos_thres, params.neg_thres)
+        return pot, counts
+
+    _, got = jax.lax.scan(step, jnp.asarray(init_pot), (diffs, jnp.asarray(base_noise)))
+    want = golden_video_to_voxel(
+        video, pos_thres=0.3, neg_thres=0.2, base_noise=base_noise,
+        hot_noise=hot, init_potential=init_pot)
+    _agree(got, want)
+
+
+def test_esim_put_noise_external():
+    video = _rand_video(n=11, seed=3)
+    params = vx.SimParams(jnp.float32(0.4), jnp.float32(0.4),
+                          jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
+    got = vx.esim_video_to_voxel(video, params, put_noise_external=True)
+    want = golden_video_to_voxel(video, 0.4, 0.4, put_noise_external=True)
+    _agree(got, want)
+
+
+def test_esim_integer_counts_and_reset():
+    """Events must be integer counts; potential must stay within
+    (-neg_thres, pos_thres) after quantization in the noise-free path."""
+    video = _rand_video(n=6, seed=4)
+    got = np.asarray(vx.esim_video_to_voxel(video))
+    assert np.all(got == np.round(got))
+
+
+def test_simulate_sequence_shapes_and_bin_sum():
+    num_bins, fpb, L, h, w = 5, 2, 4, 16, 24
+    n = L * num_bins * fpb + 1
+    video = _rand_video(n=n, h=h, w=w, seed=5)
+    key = jax.random.PRNGKey(0)
+    voxels, params = vx.simulate_sequence(
+        jnp.asarray(video), key, num_bins=num_bins, frames_per_bin=fpb)
+    assert voxels.shape == (L, num_bins, h, w)
+    assert float(params.pos_thres) > 0
+    # bin summing must conserve total event count vs the raw count frames
+    counts = vx.esim_video_to_voxel(
+        jnp.asarray(video),
+        vx.SimParams(params.pos_thres, params.neg_thres, jnp.float32(0),
+                     jnp.float32(0), jnp.float32(0)))
+    # (no noise ⇒ can't compare to the noisy run; just check determinism of
+    # the reshape path with fixed params)
+    voxels2, _ = vx.simulate_sequence(
+        jnp.asarray(video), key, num_bins=num_bins, frames_per_bin=fpb,
+        fixed_params=params)
+    np.testing.assert_allclose(voxels, voxels2, rtol=0, atol=0)
+
+
+def test_simulate_batch_vmap():
+    num_bins, L = 5, 3
+    n = L * num_bins + 1
+    videos = np.stack([_rand_video(n=n, h=16, w=16, seed=s) for s in range(3)])
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    voxels, params = vx.simulate_batch(jnp.asarray(videos), keys)
+    assert voxels.shape == (3, L, num_bins, 16, 16)
+    # different keys ⇒ different thresholds
+    assert len(set(np.asarray(params.pos_thres).tolist())) == 3
+
+
+def _rand_events(n=5000, h=60, w=80, seed=0, t_span=0.05):
+    rng = np.random.RandomState(seed)
+    ts = np.sort(rng.rand(n)) * t_span + 100.0
+    xs = rng.randint(0, w, n)
+    ys = rng.randint(0, h, n)
+    ps = rng.randint(0, 2, n)
+    return ts, xs, ys, ps
+
+
+@pytest.mark.parametrize("interp", [False, True])
+def test_events_to_voxel_matches_np(interp):
+    h, w, nb = 60, 80, 5
+    ts, xs, ys, ps = _rand_events(h=h, w=w)
+    want = vx.events_to_voxel_np(
+        ts, xs, ys, ps, num_bins=nb, height=h, width=w, interpolate_bins=interp)
+    # pad by 123 garbage events
+    pad = 123
+    t_us = vx.relative_us(ts)
+    tsp = np.concatenate([t_us, np.full(pad, 2**30, np.int64)])
+    xsp = np.concatenate([xs, np.full(pad, 9999, np.int64)])
+    ysp = np.concatenate([ys, np.full(pad, 9999, np.int64)])
+    psp = np.concatenate([ps, np.ones(pad, np.int64)])
+    got = vx.events_to_voxel(
+        jnp.asarray(tsp, jnp.int32), jnp.asarray(xsp, jnp.int32), jnp.asarray(ysp, jnp.int32),
+        jnp.asarray(psp, jnp.int32), jnp.int32(len(ts)),
+        num_bins=nb, height=h, width=w, interpolate_bins=interp)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-3)
+
+
+def test_events_to_voxel_empty():
+    h, w, nb = 8, 8, 5
+    got = vx.events_to_voxel(
+        jnp.zeros(16), jnp.zeros(16, jnp.int32), jnp.zeros(16, jnp.int32),
+        jnp.zeros(16, jnp.int32), jnp.int32(0),
+        num_bins=nb, height=h, width=w)
+    assert np.asarray(got).sum() == 0
+    want = vx.events_to_voxel_np(
+        np.zeros(0), np.zeros(0, np.int64), np.zeros(0, np.int64),
+        np.zeros(0), num_bins=nb, height=h, width=w)
+    np.testing.assert_array_equal(np.asarray(got), want)

@@ -1,0 +1,253 @@
+"""Shared NN building blocks for the model zoo (Flax, NHWC).
+
+Functional equivalents of the reference's torch submodules
+(model/submodules.py): ConvLayer, TransposedConvLayer, UpsampleConvLayer,
+RecurrentConvLayer, ResidualBlock, ConvLSTM, ConvGRU.
+
+Parity notes (for checkpoint conversion, v2v_tpu/models/convert.py):
+  * All convs use explicit symmetric padding k//2 per side — torch's
+    `padding=k//2` semantics, NOT XLA 'SAME' (which pads asymmetrically
+    for even sizes at stride 2 and would shift activations).
+  * Layout is NHWC / HWIO (TPU-native); torch OIHW kernels transpose with
+    (2, 3, 1, 0).
+  * Gate packing orders match torch chunk order exactly:
+    ConvLSTM Gates -> [input, forget, output, cell]
+    (model/submodules.py:221).
+  * Recurrent cells take and return explicit state pytrees; zero state ==
+    the reference's `prev_state=None` init (model/submodules.py:201-212).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def activation_fn(name: Optional[str]) -> Optional[Callable[[Array], Array]]:
+    """Map the reference's `getattr(torch, name)` activation strings."""
+    if name is None or name in ("", "none", "None"):
+        return None
+    return {
+        "relu": nn.relu,
+        "sigmoid": nn.sigmoid,
+        "tanh": nn.tanh,
+        "softmax": nn.softmax,
+        "elu": nn.elu,
+        "gelu": nn.gelu,
+        "leaky_relu": nn.leaky_relu,
+    }[name]
+
+
+def _pad2d(k: int) -> Sequence[Tuple[int, int]]:
+    p = k // 2
+    return ((p, p), (p, p))
+
+
+class ConvLayer(nn.Module):
+    """Conv2d [+ norm] [+ activation]. Reference: model/submodules.py:7-34."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        use_bias = self.norm != "BN"
+        x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride),
+                    padding=_pad2d(self.kernel_size), use_bias=use_bias,
+                    name="conv2d")(x)
+        if self.norm == "BN":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             name="norm_layer")(x)
+        elif self.norm == "IN":
+            x = nn.GroupNorm(num_groups=None, group_size=1,
+                             name="norm_layer")(x)
+        act = activation_fn(self.activation)
+        return act(x) if act is not None else x
+
+
+class UpsampleConvLayer(nn.Module):
+    """Bilinear x2 upsample then conv (no checkerboard artefacts).
+    Reference: model/submodules.py:68-96; `f.interpolate(..., bilinear,
+    align_corners=False)` == jax.image.resize half-pixel convention."""
+    features: int
+    kernel_size: int = 3
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+        use_bias = self.norm != "BN"
+        x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
+                    padding=_pad2d(self.kernel_size), use_bias=use_bias,
+                    name="conv2d")(x)
+        if self.norm == "BN":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             name="norm_layer")(x)
+        elif self.norm == "IN":
+            x = nn.GroupNorm(num_groups=None, group_size=1,
+                             name="norm_layer")(x)
+        act = activation_fn(self.activation)
+        return act(x) if act is not None else x
+
+
+class TransposedConvLayer(nn.Module):
+    """Stride-2 transposed conv (fast upsample, checkerboard artefacts).
+    Matches torch ConvTranspose2d(stride=2, padding=k//2,
+    output_padding=1): out = 2*in. Reference: model/submodules.py:37-65."""
+    features: int
+    kernel_size: int = 3
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        k, p = self.kernel_size, self.kernel_size // 2
+        # torch convtranspose == lhs-dilated conv with flipped kernel;
+        # effective padding per side: k-1-p (+ output_padding at hi end).
+        use_bias = self.norm != "BN"
+        x = nn.ConvTranspose(
+            self.features, (k, k), strides=(2, 2),
+            padding=((k - 1 - p, k - 1 - p + 1), (k - 1 - p, k - 1 - p + 1)),
+            transpose_kernel=True, use_bias=use_bias, name="transposed_conv2d")(x)
+        if self.norm == "BN":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             name="norm_layer")(x)
+        elif self.norm == "IN":
+            x = nn.GroupNorm(num_groups=None, group_size=1,
+                             name="norm_layer")(x)
+        act = activation_fn(self.activation)
+        return act(x) if act is not None else x
+
+
+class ResidualBlock(nn.Module):
+    """conv-norm-relu-conv-norm + skip, relu. Reference:
+    model/submodules.py:143-176 (stride fixed to 1, no downsample in any
+    shipped config)."""
+    features: int
+    norm: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        residual = x
+        use_bias = self.norm != "BN"
+        out = nn.Conv(self.features, (3, 3), padding=_pad2d(3),
+                      use_bias=use_bias, name="conv1")(x)
+        if self.norm == "BN":
+            out = nn.BatchNorm(use_running_average=not train, name="bn1")(out)
+        elif self.norm == "IN":
+            out = nn.GroupNorm(num_groups=None, group_size=1, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (3, 3), padding=_pad2d(3),
+                      use_bias=use_bias, name="conv2")(out)
+        if self.norm == "BN":
+            out = nn.BatchNorm(use_running_average=not train, name="bn2")(out)
+        elif self.norm == "IN":
+            out = nn.GroupNorm(num_groups=None, group_size=1, name="bn2")(out)
+        return nn.relu(out + residual)
+
+
+LSTMState = Tuple[Array, Array]  # (hidden, cell), each (B, H, W, C)
+
+
+class ConvLSTM(nn.Module):
+    """Convolutional LSTM cell. Reference: model/submodules.py:179-235.
+    Single gates conv over concat(input, hidden) producing 4C channels in
+    torch chunk order [in, forget, out, cell]."""
+    hidden_size: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array, state: LSTMState) -> Tuple[Array, LSTMState]:
+        prev_hidden, prev_cell = state
+        stacked = jnp.concatenate([x, prev_hidden], axis=-1)
+        gates = nn.Conv(4 * self.hidden_size,
+                        (self.kernel_size, self.kernel_size),
+                        padding=_pad2d(self.kernel_size), name="Gates")(stacked)
+        in_gate, remember_gate, out_gate, cell_gate = jnp.split(gates, 4, axis=-1)
+        in_gate = nn.sigmoid(in_gate)
+        remember_gate = nn.sigmoid(remember_gate)
+        out_gate = nn.sigmoid(out_gate)
+        cell_gate = jnp.tanh(cell_gate)
+        cell = remember_gate * prev_cell + in_gate * cell_gate
+        hidden = out_gate * jnp.tanh(cell)
+        return hidden, (hidden, cell)
+
+    @staticmethod
+    def zero_state(batch: int, height: int, width: int, hidden: int,
+                   dtype=jnp.float32) -> LSTMState:
+        z = jnp.zeros((batch, height, width, hidden), dtype)
+        return (z, z)
+
+
+class ConvGRU(nn.Module):
+    """Convolutional GRU cell. Reference: model/submodules.py:238-278.
+    Three separate convs (reset/update/out), orthogonal init, zero bias."""
+    hidden_size: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: Array, state: Array) -> Tuple[Array, Array]:
+        pad = _pad2d(self.kernel_size)
+        k = (self.kernel_size, self.kernel_size)
+        ortho = nn.initializers.orthogonal()
+        stacked = jnp.concatenate([x, state], axis=-1)
+        update = nn.sigmoid(nn.Conv(self.hidden_size, k, padding=pad,
+                                    kernel_init=ortho, name="update_gate")(stacked))
+        reset = nn.sigmoid(nn.Conv(self.hidden_size, k, padding=pad,
+                                   kernel_init=ortho, name="reset_gate")(stacked))
+        out = jnp.tanh(nn.Conv(self.hidden_size, k, padding=pad,
+                               kernel_init=ortho, name="out_gate")(
+            jnp.concatenate([x, state * reset], axis=-1)))
+        new_state = state * (1 - update) + out * update
+        return new_state, new_state
+
+    @staticmethod
+    def zero_state(batch: int, height: int, width: int, hidden: int,
+                   dtype=jnp.float32) -> Array:
+        return jnp.zeros((batch, height, width, hidden), dtype)
+
+
+class RecurrentConvLayer(nn.Module):
+    """Strided conv followed by a recurrent cell.
+    Reference: model/submodules.py:99-118."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    recurrent_block_type: str = "convlstm"
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, state: Any, train: bool = False
+                 ) -> Tuple[Array, Any]:
+        x = ConvLayer(self.features, self.kernel_size, self.stride,
+                      self.activation, self.norm, name="conv")(x, train=train)
+        if self.recurrent_block_type == "convlstm":
+            cell = ConvLSTM(self.features, 3, name="recurrent_block")
+        else:
+            cell = ConvGRU(self.features, 3, name="recurrent_block")
+        return cell(x, state)
+
+    def zero_state(self, batch: int, height: int, width: int,
+                   dtype=jnp.float32) -> Any:
+        h, w = height // self.stride, width // self.stride
+        if self.recurrent_block_type == "convlstm":
+            return ConvLSTM.zero_state(batch, h, w, self.features, dtype)
+        return ConvGRU.zero_state(batch, h, w, self.features, dtype)
+
+
+def skip_sum(x1: Array, x2: Array) -> Array:
+    return x1 + x2
+
+
+def skip_concat(x1: Array, x2: Array) -> Array:
+    return jnp.concatenate([x1, x2], axis=-1)

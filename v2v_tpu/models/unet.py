@@ -1,0 +1,267 @@
+"""Recurrent UNet family (Flax, NHWC, explicit state pytrees).
+
+TPU-native re-design of the reference UNets (model/unet.py): same
+topologies and parameter shapes (for checkpoint conversion), but
+recurrence is externalized — every module takes and returns its state so
+the time loop can be a `jax.lax.scan` in the task interface instead of a
+python loop mutating `self.states` (reference model/unet.py:293-296).
+
+Architectures:
+  UNetRecurrent  — E2VID:  head conv -> N strided ConvLSTM encoders ->
+                   resblocks -> upsample decoders with skips -> 1x1 pred
+                   (model/unet.py:252-310)
+  UNetFlow       — E2VID++: same, 3-channel head split image+flow
+                   (model/unet.py:133-194)
+  WNet           — dual decoder (image + flow) (model/unet.py:66-130)
+  UNetFlowNoRecur— non-recurrent variant (model/unet.py:197-249)
+  UNet           — plain UNet, no head (EVFlowNet) (model/unet.py:313-352)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .submodules import (ConvLayer, ConvGRU, ConvLSTM, RecurrentConvLayer,
+                         ResidualBlock, TransposedConvLayer,
+                         UpsampleConvLayer, activation_fn, skip_concat,
+                         skip_sum)
+
+Array = jax.Array
+
+
+def _none_norm(norm):
+    return None if norm in (None, "none", "None", "") else norm
+
+
+@dataclasses.dataclass
+class UNetConfig:
+    """The `unet_kwargs` config block (model/unet.py:14-43 defaults)."""
+    num_bins: int = 5
+    base_num_channels: int = 32
+    num_encoders: int = 3
+    num_residual_blocks: int = 2
+    num_output_channels: int = 1
+    skip_type: str = "sum"
+    norm: Optional[str] = None
+    use_upsample_conv: bool = True
+    kernel_size: int = 5
+    channel_multiplier: float = 2
+    recurrent_block_type: str = "convlstm"
+    final_activation: Optional[str] = None
+
+    @classmethod
+    def from_kwargs(cls, kwargs: Dict[str, Any]) -> "UNetConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        clean = {k: v for k, v in kwargs.items() if k in known}
+        cfg = cls(**clean)
+        cfg.norm = _none_norm(cfg.norm)
+        if cfg.final_activation in ("", "none", "None"):
+            cfg.final_activation = None
+        return cfg
+
+    @property
+    def encoder_input_sizes(self) -> List[int]:
+        return [int(self.base_num_channels * self.channel_multiplier ** i)
+                for i in range(self.num_encoders)]
+
+    @property
+    def encoder_output_sizes(self) -> List[int]:
+        return [int(self.base_num_channels * self.channel_multiplier ** (i + 1))
+                for i in range(self.num_encoders)]
+
+    @property
+    def max_num_channels(self) -> int:
+        return self.encoder_output_sizes[-1]
+
+    @property
+    def skip_fn(self):
+        return skip_sum if self.skip_type == "sum" else skip_concat
+
+    @property
+    def upsample_layer(self):
+        return UpsampleConvLayer if self.use_upsample_conv else TransposedConvLayer
+
+
+class _Decoders(nn.Module):
+    """The decoder stack shared by all UNet variants."""
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, x: Array, blocks: Sequence[Array],
+                 train: bool = False) -> Array:
+        cfg = self.cfg
+        out_sizes = list(reversed(cfg.encoder_input_sizes))
+        for i, features in enumerate(out_sizes):
+            x = cfg.skip_fn(x, blocks[cfg.num_encoders - i - 1])
+            x = cfg.upsample_layer(
+                features, kernel_size=cfg.kernel_size, norm=cfg.norm,
+                name=f"decoders_{i}")(x, train=train)
+        return x
+
+
+class UNetRecurrent(nn.Module):
+    """E2VID backbone. Reference: model/unet.py:252-310."""
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, x: Array, states: List[Any], train: bool = False
+                 ) -> Tuple[Dict[str, Array], List[Any]]:
+        cfg = self.cfg
+        x = ConvLayer(cfg.base_num_channels, cfg.kernel_size, 1,
+                      name="head")(x, train=train)
+        head = x
+        blocks, new_states = [], []
+        for i, features in enumerate(cfg.encoder_output_sizes):
+            x, s = RecurrentConvLayer(
+                features, cfg.kernel_size, 2, cfg.recurrent_block_type,
+                norm=cfg.norm, name=f"encoders_{i}")(x, states[i], train=train)
+            blocks.append(x)
+            new_states.append(s)
+        for i in range(cfg.num_residual_blocks):
+            x = ResidualBlock(cfg.max_num_channels, cfg.norm,
+                              name=f"resblocks_{i}")(x, train=train)
+        x = _Decoders(cfg, name="decoders")(x, blocks, train=train)
+        img = ConvLayer(cfg.num_output_channels, 1, activation=None,
+                        norm=cfg.norm, name="pred")(cfg.skip_fn(x, head),
+                                                    train=train)
+        act = activation_fn(cfg.final_activation)
+        if act is not None:
+            img = act(img)
+        return {"image": img}, new_states
+
+    def init_state(self, batch: int, height: int, width: int,
+                   dtype=jnp.float32) -> List[Any]:
+        return _encoder_states(self.cfg, batch, height, width, dtype)
+
+
+def _encoder_states(cfg: UNetConfig, batch: int, height: int, width: int,
+                    dtype=jnp.float32) -> List[Any]:
+    states = []
+    h, w = height, width
+    for features in cfg.encoder_output_sizes:
+        h, w = h // 2, w // 2
+        if cfg.recurrent_block_type == "convlstm":
+            states.append(ConvLSTM.zero_state(batch, h, w, features, dtype))
+        else:
+            states.append(ConvGRU.zero_state(batch, h, w, features, dtype))
+    return states
+
+
+class UNetFlow(nn.Module):
+    """E2VID++ backbone: one decoder, 3-channel output split into
+    image (1) + flow (2), or 3-channel image when img_3c.
+    Reference: model/unet.py:133-194."""
+    cfg: UNetConfig
+    img_3c: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, states: List[Any], train: bool = False
+                 ) -> Tuple[Dict[str, Array], List[Any]]:
+        cfg = self.cfg
+        x = ConvLayer(cfg.base_num_channels, cfg.kernel_size, 1,
+                      name="head")(x, train=train)
+        head = x
+        blocks, new_states = [], []
+        for i, features in enumerate(cfg.encoder_output_sizes):
+            x, s = RecurrentConvLayer(
+                features, cfg.kernel_size, 2, cfg.recurrent_block_type,
+                norm=cfg.norm, name=f"encoders_{i}")(x, states[i], train=train)
+            blocks.append(x)
+            new_states.append(s)
+        for i in range(cfg.num_residual_blocks):
+            x = ResidualBlock(cfg.max_num_channels, cfg.norm,
+                              name=f"resblocks_{i}")(x, train=train)
+        x = _Decoders(cfg, name="decoders")(x, blocks, train=train)
+        img_flow = ConvLayer(3, 1, activation=None,
+                             name="pred")(cfg.skip_fn(x, head), train=train)
+        if self.img_3c:
+            out = {"image": img_flow}
+        else:
+            out = {"image": img_flow[..., 0:1], "flow": img_flow[..., 1:3]}
+        return out, new_states
+
+    def init_state(self, batch, height, width, dtype=jnp.float32):
+        return _encoder_states(self.cfg, batch, height, width, dtype)
+
+
+class WNet(nn.Module):
+    """Dual-decoder recurrent UNet: separate image and flow decoder
+    stacks. Reference: model/unet.py:66-130."""
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, x: Array, states: List[Any], train: bool = False
+                 ) -> Tuple[Dict[str, Array], List[Any]]:
+        cfg = self.cfg
+        x = ConvLayer(cfg.base_num_channels, cfg.kernel_size, 1,
+                      name="head")(x, train=train)
+        head = x
+        blocks, new_states = [], []
+        for i, features in enumerate(cfg.encoder_output_sizes):
+            x, s = RecurrentConvLayer(
+                features, cfg.kernel_size, 2, cfg.recurrent_block_type,
+                norm=cfg.norm, name=f"encoders_{i}")(x, states[i], train=train)
+            blocks.append(x)
+            new_states.append(s)
+        for i in range(cfg.num_residual_blocks):
+            x = ResidualBlock(cfg.max_num_channels, cfg.norm,
+                              name=f"resblocks_{i}")(x, train=train)
+        flow_x = _Decoders(cfg, name="flow_decoders")(x, blocks, train=train)
+        img_x = _Decoders(cfg, name="image_decoders")(x, blocks, train=train)
+        flow = ConvLayer(2, 1, activation=None, name="flow_pred")(
+            cfg.skip_fn(flow_x, head), train=train)
+        img = ConvLayer(1, 1, activation=None, name="image_pred")(
+            cfg.skip_fn(img_x, head), train=train)
+        return {"image": img, "flow": flow}, new_states
+
+    def init_state(self, batch, height, width, dtype=jnp.float32):
+        return _encoder_states(self.cfg, batch, height, width, dtype)
+
+
+class UNetFlowNoRecur(nn.Module):
+    """Non-recurrent UNetFlow. Reference: model/unet.py:197-249."""
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Dict[str, Array]:
+        cfg = self.cfg
+        x = ConvLayer(cfg.base_num_channels, cfg.kernel_size, 1,
+                      name="head")(x, train=train)
+        head = x
+        blocks = []
+        for i, features in enumerate(cfg.encoder_output_sizes):
+            x = ConvLayer(features, cfg.kernel_size, 2, norm=cfg.norm,
+                          name=f"encoders_{i}")(x, train=train)
+            blocks.append(x)
+        for i in range(cfg.num_residual_blocks):
+            x = ResidualBlock(cfg.max_num_channels, cfg.norm,
+                              name=f"resblocks_{i}")(x, train=train)
+        x = _Decoders(cfg, name="decoders")(x, blocks, train=train)
+        img_flow = ConvLayer(3, 1, activation=None, name="pred")(
+            cfg.skip_fn(x, head), train=train)
+        return {"image": img_flow[..., 0:1], "flow": img_flow[..., 1:3]}
+
+
+class UNet(nn.Module):
+    """Plain UNet without head conv (EVFlowNet backbone).
+    Reference: model/unet.py:313-352."""
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        cfg = self.cfg
+        blocks = []
+        for i, features in enumerate(cfg.encoder_output_sizes):
+            x = ConvLayer(features, cfg.kernel_size, 2, norm=cfg.norm,
+                          name=f"encoders_{i}")(x, train=train)
+            blocks.append(x)
+        for i in range(cfg.num_residual_blocks):
+            x = ResidualBlock(cfg.max_num_channels, cfg.norm,
+                              name=f"resblocks_{i}")(x, train=train)
+        x = _Decoders(cfg, name="decoders")(x, blocks, train=train)
+        return ConvLayer(cfg.num_output_channels, 1, activation=None,
+                         name="pred")(x, train=train)

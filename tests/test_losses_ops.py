@@ -1,0 +1,111 @@
+"""Tests for losses, warp, normalization, padding, and metrics."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from v2v_tpu.losses import losses as L
+from v2v_tpu.losses.lpips import LPIPS
+from v2v_tpu.ops.warp import warp_by_flow
+from v2v_tpu.ops.pad import CropParameters, crop_from_multiple, pad_to_multiple
+from v2v_tpu.ops.normalize import normalize_batch_voxel, normalize_nobias
+from v2v_tpu.eval.metrics import mse, ssim
+
+
+def test_l1_l2_reduce_modes():
+    pred = jnp.asarray(np.random.RandomState(0).rand(3, 8, 8, 1))
+    tgt = jnp.zeros_like(pred)
+    per_b = L.l1_loss(pred, tgt, weight=2.0, reduce_batch=False)
+    assert per_b.shape == (3,)
+    np.testing.assert_allclose(L.l1_loss(pred, tgt, 2.0), per_b.mean(), rtol=1e-6)
+    np.testing.assert_allclose(
+        L.l2_loss(pred, tgt), float((np.asarray(pred) ** 2).mean()), rtol=1e-6)
+
+
+def test_warp_identity_and_shift():
+    x = jnp.asarray(np.random.rand(2, 10, 12, 3).astype(np.float32))
+    assert np.allclose(warp_by_flow(x, jnp.zeros((2, 10, 12, 2))), x)
+    flow = jnp.broadcast_to(jnp.asarray([1.0, 0.0]), (2, 10, 12, 2))
+    w = np.asarray(warp_by_flow(x, flow))
+    np.testing.assert_allclose(w[:, :, :-1], np.asarray(x)[:, :, 1:], atol=1e-6)
+    # out-of-range -> zero padding
+    assert np.allclose(w[:, :, -1], 0)
+
+
+def test_temporal_consistency_zero_when_static():
+    img = jnp.asarray(np.random.rand(1, 16, 16, 1).astype(np.float32))
+    tc = L.temporal_consistency_loss(img, img, img, img,
+                                     jnp.zeros((1, 16, 16, 2)))
+    assert float(tc) < 1e-6
+
+
+def test_temporal_consistency_clamp_blocks_exploit():
+    """Predicting +inf must not zero the loss (utils/loss.py:45-46)."""
+    img = jnp.asarray(np.random.rand(1, 16, 16, 1).astype(np.float32))
+    huge = jnp.full((1, 16, 16, 1), 1e9)
+    tc = L.temporal_consistency_loss(img, img, huge, huge,
+                                     jnp.zeros((1, 16, 16, 2)))
+    assert float(tc) < 1.0 and np.isfinite(float(tc))
+
+
+def test_lpips_basic_properties():
+    d = LPIPS("alex")
+    a = jnp.asarray(np.random.rand(2, 64, 64, 1).astype(np.float32))
+    b = jnp.asarray(np.random.rand(2, 64, 64, 1).astype(np.float32))
+    dab = np.asarray(d(a, b))
+    assert dab.shape == (2,) and (dab > 0).all()
+    assert np.allclose(np.asarray(d(a, a)), 0.0, atol=1e-6)
+
+
+def test_ssim_matches_torchmetrics_uniform():
+    """Cross-check our skimage-compatible SSIM against torchmetrics with a
+    uniform 7x7 kernel (same algorithm family)."""
+    tm = pytest.importorskip("torchmetrics")
+    import torch
+    x = np.random.RandomState(0).rand(60, 80)
+    y = np.clip(x + 0.1 * np.random.RandomState(1).randn(60, 80), 0, 1)
+    ours = ssim(x, y, data_range=2)
+    m = tm.image.StructuralSimilarityIndexMeasure(
+        gaussian_kernel=False, kernel_size=7, data_range=2.0)
+    theirs = float(m(torch.tensor(x)[None, None].float(),
+                     torch.tensor(y)[None, None].float()))
+    assert abs(ours - theirs) < 2e-3, (ours, theirs)
+    assert abs(ssim(x, x) - 1.0) < 1e-9
+
+
+def test_pad_to_multiple_and_crop():
+    x = jnp.ones((2, 180, 240, 5))
+    padded, hw = pad_to_multiple(x, 16)
+    assert padded.shape == (2, 192, 240, 5)
+    assert crop_from_multiple(padded, hw).shape == x.shape
+
+
+def test_crop_parameters_roundtrip():
+    cp = CropParameters(width=240, height=180, num_encoders=3)
+    x = jnp.asarray(np.random.rand(1, 180, 240, 1))
+    padded = cp.pad(x)
+    assert padded.shape[1] % 8 == 0 and padded.shape[2] % 8 == 0
+    np.testing.assert_allclose(cp.crop(padded), x)
+
+
+def test_normalize_batch_voxel():
+    rng = np.random.RandomState(0)
+    v = rng.randn(2, 4, 8, 8, 5) * 10
+    out = np.asarray(normalize_batch_voxel(jnp.asarray(v)))
+    assert out.shape == v.shape
+    # strictly positive entries scaled down by >= the 99th percentile
+    assert np.abs(out).max() <= np.abs(v).max()
+    # tiny voxels (max < 1) are left unscaled (clamp to 1)
+    small = jnp.asarray(rng.rand(1, 2, 4, 4, 5) * 0.5)
+    np.testing.assert_allclose(normalize_batch_voxel(small), small, atol=1e-6)
+
+
+def test_normalize_nobias_range():
+    v = jnp.asarray(np.random.RandomState(0).randn(4, 8, 8) * 3)
+    out = np.asarray(normalize_nobias(v))
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_mse():
+    a, b = np.zeros((4, 4)), np.ones((4, 4))
+    assert mse(a, b) == 1.0

@@ -1,0 +1,98 @@
+"""Training losses (reference model/loss.py + utils/loss.py), as pure
+functions over NHWC tensors.
+
+All per-batch losses return (B,) when reduce_batch=False, matching the
+per-source bookkeeping contract of calc_loss
+(model/train_utils.py:380-458).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.warp import warp_by_flow
+
+Array = jax.Array
+
+
+def _reduce(x: Array, reduce_batch: bool) -> Array:
+    if reduce_batch:
+        return x.mean()
+    b = x.shape[0]
+    return x.reshape(b, -1).mean(axis=1)
+
+
+def l1_loss(pred: Array, target: Array, weight: float = 1.0,
+            reduce_batch: bool = True) -> Array:
+    """Reference model/loss.py:135-147."""
+    return weight * _reduce(jnp.abs(pred - target), reduce_batch)
+
+
+def l2_loss(pred: Array, target: Array, weight: float = 1.0,
+            reduce_batch: bool = True) -> Array:
+    """Reference model/loss.py:121-133."""
+    return weight * _reduce((pred - target) ** 2, reduce_batch)
+
+
+def temporal_consistency_loss(
+    image0: Array, image1: Array, processed0: Array, processed1: Array,
+    flow01: Array, alpha: float = 50.0, reduce_batch: bool = True,
+) -> Array:
+    """Lai et al. ECCV'18 temporal loss (reference utils/loss.py:6-69).
+
+    Warps the previous reconstruction to the current frame by `-flow` (the
+    caller negates, model/loss.py:166-182), masks by a visibility map
+    estimated from the ground-truth frames, and measures relative
+    absolute error. `processed0` is clamped to [0, 255] to close the
+    +inf prediction loss exploit (utils/loss.py:45-46).
+
+    All images NHWC; flow01 (B,H,W,2) is the displacement from image1 to
+    image0 in pixels.
+    """
+    image0_warped = warp_by_flow(image0, flow01)
+    visibility = jnp.exp(-alpha * (image1 - image0_warped) ** 2)
+    processed0 = jnp.clip(processed0, 0.0, 255.0)
+    processed0_warped = warp_by_flow(processed0, flow01)
+    div = jnp.abs(processed1) + jnp.abs(processed0_warped) + 1e-5
+    tc_map = visibility * jnp.abs(processed1 - processed0_warped) / div
+    return _reduce(tc_map, reduce_batch)
+
+
+def warping_flow_loss(image0: Array, image1: Array, flow01: Array) -> Array:
+    """Photometric warp error for self-supervised flow
+    (reference utils/loss.py:72-111)."""
+    image0_warped = warp_by_flow(image0, flow01)
+    return jnp.abs(image1 - image0_warped).mean()
+
+
+def voxel_warping_flow_loss(voxel: Array, displacement: Array,
+                            reverse_time: bool = False) -> Array:
+    """Contrast-maximization: warp each temporal bin of the voxel along
+    the flow and minimize negative variance of the stacked image; summed
+    forward + reverse passes (reference utils/loss.py:114-159).
+
+    voxel: (B,H,W,C bins); displacement: (B,H,W,2).
+    NOTE the reference swaps flow channels here (displacement_x taken
+    from channel 1, utils/loss.py:131-132); kept for parity.
+    """
+    def one_direction(disp, reverse):
+        c = voxel.shape[-1]
+        increment = 1.0 / (c - 1.0)
+        warped_sum = jnp.zeros(voxel.shape[:-1] + (1,), voxel.dtype)
+        for i in range(c):
+            ratio = (1.0 - i * increment) if reverse else i * increment
+            flow = jnp.stack([disp[..., 1] * ratio, disp[..., 0] * ratio],
+                             axis=-1)
+            warped = warp_by_flow(voxel[..., i:i + 1], flow)
+            warped_sum = warped_sum + warped
+        return -jnp.var(warped_sum)
+
+    loss = one_direction(displacement, False)
+    loss = loss + one_direction(-displacement, True)
+    return loss
+
+
+def mse_metric(pred: Array, target: Array) -> Array:
+    return ((pred - target) ** 2).mean()

@@ -1,0 +1,201 @@
+"""LPIPS perceptual distance in Flax (NHWC).
+
+Functional port of the vendored PerceptualSimilarity LPIPS v0.1
+(reference PerceptualSimilarity/models/networks_basic.py:32-101): frozen
+AlexNet/VGG16 trunk -> per-layer channel-unit-normalized activations ->
+squared difference -> 1x1 linear calibration -> spatial mean -> sum over
+layers.
+
+The tiny linear calibration weights ship with this package
+(losses/weights/lpips_lin_*.npz, converted from the reference's in-tree
+v0.1 .pth files). The conv trunks are ImageNet-pretrained torchvision
+checkpoints which cannot be redistributed here; provide them via
+
+    LPIPS(net="alex").restore(torch_backbone_path="/path/alexnet-owt.pth")
+
+or drop `alexnet-owt-7be5be79.pth` / `vgg16-397923af.pth` into
+`$V2V_WEIGHTS_DIR` (default ./pretrained). Without them the trunk falls
+back to fixed random features (He init, fixed seed) — still a valid
+training signal, but NOT comparable to published LPIPS numbers; a loud
+warning is emitted once.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import warnings
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Array = jax.Array
+
+_WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "weights")
+
+# Input scaling constants of the LPIPS ScalingLayer
+# (PerceptualSimilarity/models/networks_basic.py, public constants).
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+# torchvision backbone filenames users are expected to provide.
+_BACKBONE_FILES = {
+    "alex": "alexnet-owt-7be5be79.pth",
+    "vgg": "vgg16-397923af.pth",
+}
+
+# AlexNet features: (out_ch, kernel, stride, pad), 'M' = maxpool 3x3 s2.
+_ALEX_ARCH = [(64, 11, 4, 2), "M", (192, 5, 1, 2), "M",
+              (384, 3, 1, 1), (256, 3, 1, 1), (256, 3, 1, 1)]
+# Tap activations after each relu (all 5 convs, relu1..relu5):
+_ALEX_TAPS = [0, 1, 2, 3, 4]
+
+# VGG16 features: conv3x3 channels with maxpool2 between stages.
+_VGG_CHANNELS = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                 512, 512, 512, "M", 512, 512, 512]
+_VGG_TAPS = [1, 3, 6, 9, 12]   # conv indices (relu1_2, 2_2, 3_3, 4_3, 5_3)
+
+
+class _AlexFeatures(nn.Module):
+    @nn.compact
+    def __call__(self, x: Array) -> List[Array]:
+        feats, conv_idx = [], 0
+        for spec in _ALEX_ARCH:
+            if spec == "M":
+                x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+                continue
+            ch, k, s, p = spec
+            x = nn.Conv(ch, (k, k), strides=(s, s),
+                        padding=((p, p), (p, p)), name=f"conv{conv_idx}")(x)
+            x = nn.relu(x)
+            if conv_idx in _ALEX_TAPS:
+                feats.append(x)
+            conv_idx += 1
+        return feats
+
+
+class _VGGFeatures(nn.Module):
+    @nn.compact
+    def __call__(self, x: Array) -> List[Array]:
+        feats, conv_idx = [], 0
+        for spec in _VGG_CHANNELS:
+            if spec == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+                continue
+            x = nn.Conv(spec, (3, 3), padding=((1, 1), (1, 1)),
+                        name=f"conv{conv_idx}")(x)
+            x = nn.relu(x)
+            if conv_idx in _VGG_TAPS:
+                feats.append(x)
+            conv_idx += 1
+        return feats
+
+
+def _unit_normalize(x: Array, eps: float = 1e-10) -> Array:
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / (norm + eps)
+
+
+class LPIPSModule(nn.Module):
+    """dist(in0, in1) per batch element. Inputs NHWC, 3 channels,
+    range [-1, 1] (use normalize=True wrapper for [0, 1] inputs)."""
+    net: str = "alex"
+
+    @nn.compact
+    def __call__(self, in0: Array, in1: Array) -> Array:
+        shift = jnp.asarray(_SHIFT)
+        scale = jnp.asarray(_SCALE)
+        trunk = (_AlexFeatures(name="features") if self.net == "alex"
+                 else _VGGFeatures(name="features"))
+        f0 = trunk((in0 - shift) / scale)
+        f1 = trunk((in1 - shift) / scale)
+        total = 0.0
+        for i, (a, b) in enumerate(zip(f0, f1)):
+            diff = (_unit_normalize(a) - _unit_normalize(b)) ** 2
+            lin = self.param(f"lin{i}", nn.initializers.ones, (a.shape[-1],))
+            # 1x1 conv with non-negative weights == channel dot; the
+            # reference applies abs at load (weights are stored >= 0).
+            val = (diff * jax.nn.relu(lin)).sum(axis=-1)   # (B,H,W)
+            total = total + val.mean(axis=(1, 2))          # spatial average
+        return total                                        # (B,)
+
+
+def _load_lin_weights(net: str) -> Dict[str, np.ndarray]:
+    data = np.load(os.path.join(_WEIGHTS_DIR, f"lpips_lin_{net}.npz"))
+    return {k: data[k] for k in data.files}
+
+
+def _find_backbone(net: str) -> Optional[str]:
+    wdir = os.environ.get("V2V_WEIGHTS_DIR", "pretrained")
+    path = os.path.join(wdir, _BACKBONE_FILES[net])
+    return path if os.path.exists(path) else None
+
+
+def _torch_backbone_params(net: str, path: str) -> Dict[str, Dict[str, np.ndarray]]:
+    """Convert a torchvision alexnet/vgg16 state_dict to flax trunk params."""
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    # torchvision keys: features.{i}.weight/.bias with i the nn.Sequential
+    # index; collect convs in order.
+    convs = []
+    idxs = sorted({int(k.split(".")[1]) for k in sd if k.startswith("features")
+                   and k.endswith("weight")})
+    for i in idxs:
+        w = sd[f"features.{i}.weight"].numpy().transpose(2, 3, 1, 0)  # OIHW->HWIO
+        b = sd[f"features.{i}.bias"].numpy()
+        convs.append((w, b))
+    return {f"conv{i}": {"kernel": w, "bias": b}
+            for i, (w, b) in enumerate(convs)}
+
+
+_warned = set()
+
+
+class LPIPS:
+    """Stateless callable LPIPS distance with frozen params.
+
+    dist = LPIPS(net="alex")
+    d = dist(pred, target, normalize=True)   # (B,) for NHWC inputs
+    """
+
+    def __init__(self, net: str = "alex",
+                 torch_backbone_path: Optional[str] = None):
+        self.net = net
+        self.module = LPIPSModule(net=net)
+        backbone = torch_backbone_path or _find_backbone(net)
+        dummy = jnp.zeros((1, 64, 64, 3))
+        params = self.module.init(jax.random.PRNGKey(7), dummy, dummy)
+        params = jax.tree.map(np.asarray, params)
+        if backbone is not None:
+            params["params"]["features"] = jax.tree.map(
+                np.asarray, _torch_backbone_params(net, backbone))
+        elif net not in _warned:
+            _warned.add(net)
+            warnings.warn(
+                f"LPIPS({net}): no pretrained backbone found (set "
+                f"V2V_WEIGHTS_DIR or pass torch_backbone_path for "
+                f"{_BACKBONE_FILES[net]}); using fixed random features — "
+                f"NOT comparable to published LPIPS numbers.")
+        for k, v in _load_lin_weights(net).items():
+            params["params"][k] = v
+        self.params = jax.tree.map(jnp.asarray, params)
+        self._jitted = jax.jit(self._dist, static_argnums=(2,))
+
+    def _dist(self, in0: Array, in1: Array, normalize: bool) -> Array:
+        if normalize:   # [0,1] -> [-1,1] (reference PerceptualLoss norm)
+            in0 = 2.0 * in0 - 1.0
+            in1 = 2.0 * in1 - 1.0
+        if in0.shape[-1] == 1:
+            in0 = jnp.repeat(in0, 3, axis=-1)
+            in1 = jnp.repeat(in1, 3, axis=-1)
+        return self.module.apply(self.params, in0, in1)
+
+    def __call__(self, in0: Array, in1: Array, normalize: bool = True) -> Array:
+        return self._jitted(in0, in1, normalize)
+
+
+@functools.lru_cache(maxsize=4)
+def get_lpips(net: str = "alex") -> LPIPS:
+    return LPIPS(net=net)

@@ -21,7 +21,7 @@ from flax import linen as nn
 
 from .submodules import ConvGRU, ConvLayer, ResidualBlock
 from .unet import (UNet, UNetConfig, UNetFlow, UNetFlowNoRecur,
-                   UNetRecurrent, WNet)
+                   UNetRecurrent, WNet, _encoder_states)
 
 Array = jax.Array
 
@@ -40,10 +40,11 @@ class E2VIDRecurrent(nn.Module):
     def __call__(self, x: Array, state: List[Any], train: bool = False):
         return self.unetrecurrent(x, state, train=train)
 
+    @nn.nowrap
     def init_state(self, batch: int, height: int, width: int,
                    dtype=jnp.float32):
-        return UNetRecurrent(UNetConfig.from_kwargs(dict(self.unet_kwargs))
-                             ).init_state(batch, height, width, dtype)
+        return _encoder_states(UNetConfig.from_kwargs(dict(self.unet_kwargs)),
+                               batch, height, width, dtype)
 
     @property
     def num_encoders(self) -> int:
@@ -63,9 +64,10 @@ class FlowNet(nn.Module):
     def __call__(self, x: Array, state: List[Any], train: bool = False):
         return self.unetflow(x, state, train=train)
 
+    @nn.nowrap
     def init_state(self, batch, height, width, dtype=jnp.float32):
-        return UNetFlow(UNetConfig.from_kwargs(dict(self.unet_kwargs))
-                        ).init_state(batch, height, width, dtype)
+        return _encoder_states(UNetConfig.from_kwargs(dict(self.unet_kwargs)),
+                               batch, height, width, dtype)
 
     @property
     def num_encoders(self) -> int:
@@ -85,9 +87,10 @@ class ColorE2VID(nn.Module):
     def __call__(self, x: Array, state: List[Any], train: bool = False):
         return self.unetflow(x, state, train=train)
 
+    @nn.nowrap
     def init_state(self, batch, height, width, dtype=jnp.float32):
-        return UNetFlow(UNetConfig.from_kwargs(dict(self.unet_kwargs))
-                        ).init_state(batch, height, width, dtype)
+        return _encoder_states(UNetConfig.from_kwargs(dict(self.unet_kwargs)),
+                               batch, height, width, dtype)
 
 
 class WFlowNet(nn.Module):
@@ -103,9 +106,10 @@ class WFlowNet(nn.Module):
     def __call__(self, x: Array, state: List[Any], train: bool = False):
         return self.wnet(x, state, train=train)
 
+    @nn.nowrap
     def init_state(self, batch, height, width, dtype=jnp.float32):
-        return WNet(UNetConfig.from_kwargs(dict(self.unet_kwargs))
-                    ).init_state(batch, height, width, dtype)
+        return _encoder_states(UNetConfig.from_kwargs(dict(self.unet_kwargs)),
+                               batch, height, width, dtype)
 
 
 class FlowNetNoRecur(nn.Module):
@@ -120,6 +124,7 @@ class FlowNetNoRecur(nn.Module):
     def __call__(self, x: Array, state: Tuple = (), train: bool = False):
         return self.unetflow(x, train=train), state
 
+    @nn.nowrap
     def init_state(self, batch, height, width, dtype=jnp.float32):
         return ()
 
@@ -147,6 +152,7 @@ class EVFlowNet(nn.Module):
         # (reference model/model.py:261)
         return {"flow": flow, "image": 0.0 * flow[..., 0:1]}, state
 
+    @nn.nowrap
     def init_state(self, batch, height, width, dtype=jnp.float32):
         return ()
 
@@ -159,6 +165,7 @@ class FireNet(nn.Module):
     kernel_size: int = 3
     unet_kwargs: Dict[str, Any] | None = None
 
+    @nn.nowrap
     def _resolved(self):
         kw = self.unet_kwargs or {}
         return (kw.get("num_bins", self.num_bins),
@@ -176,6 +183,7 @@ class FireNet(nn.Module):
         img = ConvLayer(1, 1, activation=None, name="pred")(x)
         return {"image": img}, [s0, s1]
 
+    @nn.nowrap
     def init_state(self, batch, height, width, dtype=jnp.float32):
         _, c, _ = self._resolved()
         z = jnp.zeros((batch, height, width, c), dtype)

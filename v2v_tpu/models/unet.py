@@ -133,6 +133,7 @@ class UNetRecurrent(nn.Module):
             img = act(img)
         return {"image": img}, new_states
 
+    @nn.nowrap
     def init_state(self, batch: int, height: int, width: int,
                    dtype=jnp.float32) -> List[Any]:
         return _encoder_states(self.cfg, batch, height, width, dtype)
@@ -184,6 +185,7 @@ class UNetFlow(nn.Module):
             out = {"image": img_flow[..., 0:1], "flow": img_flow[..., 1:3]}
         return out, new_states
 
+    @nn.nowrap
     def init_state(self, batch, height, width, dtype=jnp.float32):
         return _encoder_states(self.cfg, batch, height, width, dtype)
 
@@ -218,6 +220,7 @@ class WNet(nn.Module):
             cfg.skip_fn(img_x, head), train=train)
         return {"image": img, "flow": flow}, new_states
 
+    @nn.nowrap
     def init_state(self, batch, height, width, dtype=jnp.float32):
         return _encoder_states(self.cfg, batch, height, width, dtype)
 

@@ -1,0 +1,55 @@
+"""Bilinear image warping by optical flow (the torch `grid_sample`
+equivalent used by the temporal-consistency and flow-warp losses,
+reference utils/loss.py:6-159).
+
+NHWC layout. `align_corners=True` semantics of the reference: flow is in
+pixels; a sample at integer coords hits the pixel exactly; out-of-range
+samples use zero padding (each OOB corner contributes 0).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def bilinear_sample(img: Array, gx: Array, gy: Array) -> Array:
+    """Sample img (B,H,W,C) at pixel coords gx, gy (B,H,W) with bilinear
+    interpolation and zero padding."""
+    b, h, w, c = img.shape
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    tx = (gx - x0)[..., None]
+    ty = (gy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        inb = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
+        xi_c = jnp.clip(xi, 0, w - 1)
+        yi_c = jnp.clip(yi, 0, h - 1)
+        batch_idx = jnp.arange(b)[:, None, None]
+        vals = img[batch_idx, yi_c, xi_c]          # (B,H,W,C)
+        return vals * inb[..., None]
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def warp_by_flow(img: Array, flow: Array) -> Array:
+    """Warp img (B,H,W,C) by displacement flow (B,H,W,2) [x, y] in pixels:
+    out(i,j) = img(j + fx, i + fy), bilinear.
+    Equivalent of the reference's meshgrid + grid_sample
+    (utils/loss.py:22-47) without the [-1,1] normalization round-trip."""
+    bsz, h, w, _ = img.shape
+    xx = jnp.arange(w, dtype=img.dtype)[None, None, :]
+    yy = jnp.arange(h, dtype=img.dtype)[None, :, None]
+    gx = xx + flow[..., 0]
+    gy = yy + flow[..., 1]
+    return bilinear_sample(img, gx, gy)

@@ -1,0 +1,119 @@
+"""End-to-end train step tests: fused simulation + scan forward + loss +
+optimizer, single device and 8-device data-parallel mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from v2v_tpu.ops.voxel import SimConfig
+from v2v_tpu.training.interface import ModelInterface, aggregate_per_source
+from v2v_tpu.training.optim import Adam
+from v2v_tpu.training.steps import make_train_step, synthesize_batch
+from v2v_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+MODULE_CFG = {
+    "loss": {"l1_weight": 1.0},
+    "model": {
+        "target": "model.model.E2VIDRecurrent",
+        "params": {"unet_kwargs": {
+            "num_bins": 5, "skip_type": "sum",
+            "recurrent_block_type": "convlstm", "num_encoders": 3,
+            "base_num_channels": 4, "num_residual_blocks": 1,
+            "use_upsample_conv": True, "final_activation": "",
+            "norm": "none"}},
+    },
+}
+
+
+def _video_batch(b=2, seq_len=3, num_bins=5, h=32, w=32, seed=0):
+    n = seq_len * num_bins + 1
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 255, (b, 1, h, w)).astype(np.float32)
+    drift = np.cumsum(rng.randn(b, n, h, w) * 4, axis=1)
+    video = np.clip(base + drift, 0, 255).astype(np.uint8)
+    return {"video": jnp.asarray(video),
+            "data_source_idx": jnp.full((b,), 11, jnp.int32)}
+
+
+def test_synthesize_batch_shapes():
+    batch = _video_batch()
+    events, gt = synthesize_batch(batch["video"],
+                                  jax.random.split(jax.random.PRNGKey(0), 2),
+                                  SimConfig(), 5, 1)
+    assert events.shape == (2, 3, 32, 32, 5)
+    assert gt.shape == (2, 3, 32, 32, 1)
+    assert float(gt.max()) <= 1.0
+
+
+def test_train_step_learns():
+    iface = ModelInterface(MODULE_CFG)
+    params, _ = iface.init(jax.random.PRNGKey(0), 2, 32, 32)
+    opt = Adam(lr=1e-3).make()
+    opt_state = opt.init(params)
+    step = make_train_step(iface, opt, sim_cfg=SimConfig(), donate=False)
+    batch = _video_batch()
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(8):
+        params, opt_state, loss, aux = step(params, opt_state, batch,
+                                            jax.random.fold_in(key, i % 2))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    logs = aggregate_per_source(
+        {k: np.asarray(v) for k, v in aux.items() if np.ndim(v) > 0},
+        np.asarray(batch["data_source_idx"]))
+    assert "l1_loss/webvid" in logs
+
+
+def test_train_step_with_tc_loss_zeros_flow():
+    cfg = dict(MODULE_CFG)
+    cfg["loss"] = {"l1_weight": 1.0, "temporal_consistency_weight": 1.0,
+                   "temporal_consistency_L0": 1,
+                   "optical_flow_source": "zeros"}
+    iface = ModelInterface(cfg)
+    params, _ = iface.init(jax.random.PRNGKey(0), 2, 32, 32)
+    opt = Adam(lr=1e-4).make()
+    opt_state = opt.init(params)
+    step = make_train_step(iface, opt, sim_cfg=SimConfig(), donate=False)
+    params, opt_state, loss, aux = step(params, opt_state, _video_batch(),
+                                        jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    assert "temporal_consistency_loss" in aux
+
+
+def test_train_step_data_parallel_mesh():
+    """The multi-chip path: batch sharded over an 8-device mesh, params
+    replicated; XLA inserts the gradient all-reduce."""
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh(8)
+    iface = ModelInterface(MODULE_CFG)
+    params, _ = iface.init(jax.random.PRNGKey(0), 8, 32, 32)
+    opt = Adam(lr=1e-3).make()
+    opt_state = opt.init(params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    batch = shard_batch(_video_batch(b=8), mesh)
+    step = make_train_step(iface, opt, sim_cfg=SimConfig(), donate=False)
+    params2, opt_state2, loss, _ = step(params, opt_state, batch,
+                                        jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # grads synchronized -> params stay replicated (all shards equal)
+    leaf = jax.tree.leaves(params2)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    np.testing.assert_array_equal(shards[0], shards[-1])
+
+
+def test_eval_forward_state_streaming():
+    """State carried across chunks must equal one long forward
+    (streaming eval contract, test_e2vid.py:53-67)."""
+    iface = ModelInterface(MODULE_CFG)
+    params, _ = iface.init(jax.random.PRNGKey(0), 1, 32, 32)
+    events = jax.random.normal(jax.random.PRNGKey(3), (1, 6, 32, 32, 5))
+    s0 = iface.init_state(1, 32, 32)
+    full, _ = iface.forward_sequence(params, events, s0)
+    first, s_mid = iface.forward_sequence(params, events[:, :3], s0)
+    second, _ = iface.forward_sequence(params, events[:, 3:], s_mid)
+    np.testing.assert_allclose(np.asarray(full),
+                               np.concatenate([first, second], axis=1),
+                               atol=1e-5)

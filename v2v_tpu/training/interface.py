@@ -1,0 +1,241 @@
+"""Task interface: sequence forward + loss for reconstruction models.
+
+Functional equivalent of the reference `ModelInterface`
+(model/train_utils.py:169-481), redesigned for XLA:
+
+  * the T-step python loop (train_utils.py:339-345) becomes `lax.scan`
+    with the recurrent state as carry;
+  * per-timestep loss loops (train_utils.py:402-424) become batched ops
+    over the folded (B*T) axis — LPIPS runs once over all frames;
+  * `reset_states()` becomes explicit state passed in/out, so streaming
+    eval carries state across chunks of the same sequence
+    (test_e2vid.py:53-61) purely.
+
+Batch layout is channels-last: events (B,T,H,W,bins), frame (B,T,H,W,C),
+flow (B,T,H,W,2).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import instantiate_from_config
+from ..losses import losses as L
+from ..losses.lpips import LPIPS
+from ..ops.normalize import normalize_batch_voxel
+from ..ops.pad import crop_from_multiple, pad_to_multiple
+
+Array = jax.Array
+
+
+class LossConfig(NamedTuple):
+    """The `module.loss` config block (train_utils.py:250-279)."""
+    lpips_weight: float = 0.0
+    lpips_type: str = "vgg"
+    l1_weight: float = 0.0
+    l2_weight: float = 0.0
+    temporal_consistency_weight: float = 0.0
+    temporal_consistency_L0: int = 1
+    optical_flow_source: str = "gt"   # gt | zeros | raft_small | raft_large
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "LossConfig":
+        known = cls._fields
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+class ModelInterface:
+    """Builds the model from config and exposes pure jit-ready functions.
+
+    Reference parity notes:
+      * voxel normalization: normalize_batch_voxel when
+        `normalize_voxels` (train_utils.py:319-320)
+      * pad H,W to x16 before the net, crop back (train_utils.py:322-326)
+      * HyperE2VID GT-mixing curriculum: beta = 1 - epoch/hyper_epochs
+        during training (train_utils.py:307,328-342)
+    """
+
+    def __init__(self, configs: Dict[str, Any]):
+        self.configs = configs
+        self.model = instantiate_from_config(configs["model"])
+        self.loss_cfg = LossConfig.from_dict(configs.get("loss", {}))
+        self.normalize_voxels = configs.get("normalize_voxels", False)
+        self.hyper_epochs = configs.get("hyper_epochs", 0)
+        self.pred_channels = configs.get("pred_channels", 1)
+        self.is_nernet = configs.get("is_nernet", False)
+        self._lpips_train: Optional[LPIPS] = None
+        self._lpips_test: Optional[LPIPS] = None
+
+    # -- lazily built LPIPS instances (heavy) ---------------------------
+    @property
+    def lpips_train(self) -> LPIPS:
+        if self._lpips_train is None:
+            self._lpips_train = LPIPS(self.loss_cfg.lpips_type)
+        return self._lpips_train
+
+    @property
+    def lpips_test(self) -> LPIPS:
+        # test metric is always AlexNet (train_utils.py:198)
+        if self._lpips_test is None:
+            self._lpips_test = LPIPS("alex")
+        return self._lpips_test
+
+    # -- params/state ---------------------------------------------------
+    def init(self, key: jax.Array, batch_size: int, height: int, width: int,
+             num_bins: int = 5):
+        state = self.model.init_state(batch_size, height, width)
+        x = jnp.zeros((batch_size, height, width, num_bins))
+        params = self.model.init(key, x, state)
+        return params, state
+
+    def init_state(self, batch_size: int, height: int, width: int):
+        ph = -(-height // 16) * 16
+        pw = -(-width // 16) * 16
+        return self.model.init_state(batch_size, ph, pw)
+
+    # -- forward --------------------------------------------------------
+    def forward_sequence(self, params, events: Array,
+                         state: Any, train: bool = False,
+                         gt_frames: Optional[Array] = None,
+                         hyper_beta: Optional[Array] = None,
+                         ) -> Tuple[Array, Any]:
+        """events: (B,T,H,W,bins) -> pred images (B,T,H,W,pred_ch) in
+        [0,1]-ish range, plus the final recurrent state."""
+        b, t, h, w, c = events.shape
+        if self.normalize_voxels:
+            events = normalize_batch_voxel(events)
+        events, hw = pad_to_multiple(events, 16)
+
+        use_hyper = hyper_beta is not None and gt_frames is not None
+        if use_hyper:
+            gt_pad, _ = pad_to_multiple(gt_frames, 16)
+            xs = (jnp.swapaxes(events, 0, 1), jnp.swapaxes(gt_pad, 0, 1))
+        else:
+            xs = (jnp.swapaxes(events, 0, 1),)
+
+        def step(carry, x):
+            if use_hyper:
+                voxel, gt = x
+                out, new_state = self.model.apply(
+                    params, voxel, carry, train=train,
+                    gt_image=gt, beta=hyper_beta)
+            else:
+                (voxel,) = x
+                out, new_state = self.model.apply(
+                    params, voxel, carry, train=train)
+            return new_state, out["image"]
+
+        final_state, imgs = jax.lax.scan(step, state, xs)
+        imgs = jnp.swapaxes(imgs, 0, 1)              # (B,T,ph,pw,C)
+        imgs = crop_from_multiple(imgs, hw)
+        return imgs, final_state
+
+    # -- loss -----------------------------------------------------------
+    def calc_loss(self, pred: Array, batch: Dict[str, Array],
+                  remove_flow_loss: bool = False) -> Tuple[Array, Dict[str, Array]]:
+        """Batched version of calc_loss (train_utils.py:380-458).
+
+        Returns (scalar loss for grad, dict of per-sample (B,) loss terms
+        for per-data-source logging on host). All terms average over T
+        then weight-sum, matching the reference bookkeeping.
+        """
+        cfg = self.loss_cfg
+        frames = batch["frame"]                        # (B,T,H,W,C)
+        b, t = pred.shape[:2]
+        flat_pred = pred.reshape((b * t,) + pred.shape[2:])
+        flat_gt = frames.reshape((b * t,) + frames.shape[2:])
+
+        terms: Dict[str, Array] = {}
+        if cfg.l1_weight:
+            per_bt = L.l1_loss(flat_pred, flat_gt, cfg.l1_weight,
+                               reduce_batch=False)
+            terms["l1_loss"] = per_bt.reshape(b, t).mean(axis=1)
+        if cfg.l2_weight:
+            per_bt = L.l2_loss(flat_pred, flat_gt, cfg.l2_weight,
+                               reduce_batch=False)
+            terms["l2_loss"] = per_bt.reshape(b, t).mean(axis=1)
+        if cfg.lpips_weight:
+            d = self.lpips_train._dist(flat_pred, flat_gt, True)
+            terms["perceptual_loss"] = (cfg.lpips_weight
+                                        * d.reshape(b, t).mean(axis=1))
+        if cfg.temporal_consistency_weight and not remove_flow_loss:
+            l0 = cfg.temporal_consistency_L0
+            if t > l0:
+                # loss at step t uses (frame[t-1], frame[t], pred[t-1],
+                # pred[t], -flow[t]) for t in [L0, T) — reference
+                # model/loss.py:166-182 negates the flow.
+                i0 = frames[:, l0 - 1:-1].reshape((-1,) + frames.shape[2:])
+                i1 = frames[:, l0:].reshape((-1,) + frames.shape[2:])
+                p0 = pred[:, l0 - 1:-1].reshape((-1,) + pred.shape[2:])
+                p1 = pred[:, l0:].reshape((-1,) + pred.shape[2:])
+                fl = batch["flow"][:, l0:]
+                fl = fl.reshape((-1,) + fl.shape[2:])
+                tc = L.temporal_consistency_loss(i0, i1, p0, p1, -fl,
+                                                 reduce_batch=False)
+                # reference averages over the full T axis with zeros for
+                # t < L0 (losses tensor initialized zero,
+                # train_utils.py:392,424,432)
+                tc_sum = tc.reshape(b, t - l0).sum(axis=1) / t
+                terms["temporal_consistency_loss"] = (
+                    cfg.temporal_consistency_weight * tc_sum)
+
+        total = sum(v.mean() for v in terms.values())
+        aux = dict(terms)
+        aux["pred_max_val"] = pred.max()
+        aux["pred_min_val"] = pred.min()
+        aux["pred_var"] = pred.var()
+        return total, aux
+
+    def prepare_flow(self, batch: Dict[str, Array]) -> Dict[str, Array]:
+        """Fill batch['flow'] per optical_flow_source
+        (train_utils.py:285-305). 'gt' asserts presence; 'zeros' makes a
+        zero field; RAFT teachers require converted weights and are wired
+        in training/raft.py."""
+        cfg = self.loss_cfg
+        if cfg.temporal_consistency_weight == 0 or "flow" in batch:
+            return batch
+        if cfg.optical_flow_source == "zeros":
+            frames = batch["frame"]
+            b, t, h, w, _ = frames.shape
+            batch = dict(batch)
+            batch["flow"] = jnp.zeros((b, t, h, w, 2), frames.dtype)
+            return batch
+        if cfg.optical_flow_source == "gt":
+            raise KeyError("optical_flow_source=gt but batch has no 'flow'")
+        from .raft import raft_flow  # lazy; needs converted weights
+        batch = dict(batch)
+        batch["flow"] = raft_flow(cfg.optical_flow_source, batch["frame"],
+                                  cfg.temporal_consistency_L0)
+        return batch
+
+
+def aggregate_per_source(terms: Dict[str, np.ndarray],
+                         data_source_idx: np.ndarray) -> Dict[str, float]:
+    """Host-side per-data-source loss bookkeeping
+    (train_utils.py:427-456): mean of each term over the samples of each
+    source, plus global means."""
+    from ..data.sources import DATA_SOURCES
+    out: Dict[str, float] = {}
+    loss_total = None
+    for name, vals in terms.items():
+        vals = np.asarray(vals)
+        if vals.ndim == 0:
+            out[name] = float(vals)
+            continue
+        out[name] = float(vals.mean())
+        loss_total = vals if loss_total is None else loss_total + vals
+        for idx in np.unique(data_source_idx):
+            src = DATA_SOURCES[int(idx)]
+            mask = data_source_idx == idx
+            out[f"{name}/{src}"] = float(vals[mask].mean())
+    if loss_total is not None:
+        out["loss"] = float(loss_total.mean())
+        for idx in np.unique(data_source_idx):
+            src = DATA_SOURCES[int(idx)]
+            mask = data_source_idx == idx
+            out[f"loss/{src}"] = float(loss_total[mask].mean())
+    return out

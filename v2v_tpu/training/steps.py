@@ -1,0 +1,95 @@
+"""Jitted train/eval steps with fused on-device voxel synthesis.
+
+The defining inversion vs the reference (SURVEY.md §7): the ESIM
+simulator runs INSIDE the train step — the host ships uint8 video frames
+and a PRNG key; threshold sampling, event integration, voxel binning,
+the recurrent forward, losses, and the optimizer update are one XLA
+program. The reference pays 2 CPU hot loops in dataloader workers for
+this (train.py:52-65 + data/v2v_core_esim.py).
+
+Batch contract (train, simulator path):
+    video:  (B, N, H, W) uint8/float  N = L*num_bins*frames_per_bin + 1
+    keys:   (B, 2) uint32 per-sample PRNG keys
+    data_source_idx: (B,) int32
+Batch contract (train, pre-voxelized path): events (B,T,H,W,bins),
+    frame (B,T,H,W,C) [,flow (B,T,H,W,2)].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.voxel import SimConfig, simulate_sequence
+from .interface import ModelInterface
+
+Array = jax.Array
+
+
+def synthesize_batch(video: Array, keys: Array, sim_cfg: SimConfig,
+                     num_bins: int, frames_per_bin: int
+                     ) -> Tuple[Array, Array]:
+    """(B,N,H,W) video + (B,2) keys -> events (B,L,H,W,bins) NHWC and GT
+    frames (B,L,H,W,1) in [0,1] (frame i is video[(i+1)*frames_per_img],
+    reference data/v2v_datasets.py:329-333)."""
+    video = video.astype(jnp.float32)
+    fpi = num_bins * frames_per_bin
+
+    def one(v, k):
+        voxels, _ = simulate_sequence(v, k, sim_cfg, num_bins=num_bins,
+                                      frames_per_bin=frames_per_bin)
+        return voxels                                  # (L, bins, H, W)
+
+    voxels = jax.vmap(one)(video, keys)                # (B,L,bins,H,W)
+    events = jnp.transpose(voxels, (0, 1, 3, 4, 2))    # NHWC
+    seq_len = events.shape[1]
+    gt_idx = (jnp.arange(seq_len) + 1) * fpi
+    gt = video[:, gt_idx] / 255.0                      # (B,L,H,W)
+    return events, gt[..., None]
+
+
+def make_train_step(interface: ModelInterface,
+                    optimizer: optax.GradientTransformation,
+                    sim_cfg: Optional[SimConfig] = None,
+                    num_bins: int = 5, frames_per_bin: int = 1,
+                    donate: bool = True):
+    """Build the jitted train step. If `sim_cfg` is given the step expects
+    the raw-video batch contract and synthesizes voxels on device."""
+
+    def step(params, opt_state, batch: Dict[str, Array], key: Array):
+        if sim_cfg is not None:
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(batch["video"].shape[0]))
+            events, gt = synthesize_batch(
+                batch["video"], keys, sim_cfg, num_bins, frames_per_bin)
+            batch = dict(batch, events=events, frame=gt)
+        batch = interface.prepare_flow(batch)
+        b, _, h, w, _ = batch["events"].shape
+        state0 = interface.init_state(b, h, w)
+
+        def loss_fn(p):
+            pred, _ = interface.forward_sequence(
+                p, batch["events"], state0, train=True)
+            return interface.calc_loss(pred, batch)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, loss, aux
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def make_eval_step(interface: ModelInterface):
+    """Jitted streaming-eval step: forward a chunk with carried state
+    (reset handled by the caller per sequence, test_e2vid.py:53-61)."""
+
+    @jax.jit
+    def step(params, events: Array, state: Any):
+        return interface.forward_sequence(params, events, state, train=False)
+
+    return step

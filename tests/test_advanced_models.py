@@ -1,0 +1,126 @@
+"""Shape/state tests for ETNet, HyperE2VID, ERAFT, NerNet."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_eitr_forward():
+    from v2v_tpu.models.eitr import EITR
+    model = EITR(eitr_kwargs={"num_bins": 5, "norm": None})
+    b, h, w = 1, 32, 40
+    state = model.init_state(b, h, w)
+    x = jnp.ones((b, h, w, 5))
+    params = model.init(jax.random.PRNGKey(0), x, state)
+    out, state1 = model.apply(params, x, state)
+    assert out["image"].shape == (b, h, w, 1)
+    assert 0 <= float(out["image"].min()) and float(out["image"].max()) <= 1
+    out2, _ = model.apply(params, x, state1)
+    assert not np.allclose(out["image"], out2["image"])
+
+
+def test_eitr_pads_odd_sizes():
+    from v2v_tpu.models.eitr import EITR
+    model = EITR(eitr_kwargs={"num_bins": 5, "norm": None})
+    b, h, w = 1, 30, 38       # not multiples of 8
+    state = model.init_state(b, h, w)
+    x = jnp.ones((b, h, w, 5))
+    params = model.init(jax.random.PRNGKey(0), x, state)
+    out, _ = model.apply(params, x, state)
+    assert out["image"].shape == (b, h, w, 1)
+
+
+def test_hyper_e2vid_forward_and_curriculum():
+    from v2v_tpu.models.hyper import HyperE2VID
+    kwargs = dict(num_bins=5, skip_type="sum", recurrent_block_type="convlstm",
+                  num_encoders=3, base_num_channels=8, num_residual_blocks=1,
+                  use_upsample_conv=True, norm=None, use_dynamic_decoder=True)
+    model = HyperE2VID(unet_kwargs=kwargs)
+    b, h, w = 1, 32, 32
+    state = model.init_state(b, h, w)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, 5))
+    params = model.init(jax.random.PRNGKey(0), x, state)
+    out, state1 = model.apply(params, x, state)
+    assert out["image"].shape == (b, h, w, 1)
+    # prev_recs carried: second step differs
+    out2, _ = model.apply(params, x, state1)
+    assert not np.allclose(out["image"], out2["image"])
+    # GT-mixing curriculum path
+    gt = jnp.ones((b, h, w, 1)) * 0.5
+    out3, _ = model.apply(params, x, state1, gt_image=gt,
+                          beta=jnp.float32(0.7))
+    assert np.isfinite(np.asarray(out3["image"])).all()
+
+
+def test_eraft_forward_and_warm_start():
+    from v2v_tpu.models.eraft import ERAFT
+    model = ERAFT(config={"subtype": "warm_start"}, n_first_channels=5,
+                  iters=3)
+    b, h, w = 1, 32, 32
+    state = model.init_state(b, h, w)
+    v1 = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, 5))
+    v2 = jax.random.normal(jax.random.PRNGKey(2), (b, h, w, 5))
+    params = model.init(jax.random.PRNGKey(0), v1, v2, state)
+    out, state1 = model.apply(params, v1, v2, state)
+    assert out["flow"].shape == (b, h, w, 2)
+    assert state1.shape == state.shape
+    assert np.isfinite(np.asarray(out["flow"])).all()
+    # warm start: different carry -> different output
+    out2, _ = model.apply(params, v1, v2, state1)
+    assert not np.allclose(out["flow"], out2["flow"], atol=1e-6)
+
+
+def test_eraft_odd_resolution_pads_to_32():
+    from v2v_tpu.models.eraft import ERAFT
+    model = ERAFT(config={"subtype": "standard"}, n_first_channels=5, iters=2)
+    b, h, w = 1, 40, 48
+    state = model.init_state(b, h, w)
+    v = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, 5))
+    params = model.init(jax.random.PRNGKey(0), v, v, state)
+    out, _ = model.apply(params, v, v, state)
+    assert out["flow"].shape == (b, h, w, 2)
+
+
+def test_nernet_forward():
+    from v2v_tpu.models.nernet import RepresentationRecurrent
+    kwargs = dict(num_bins=5, num_encoders=3, base_num_channels=8,
+                  num_residual_blocks=1, crop_size=112,
+                  mlp_layers=[1, 30, 30, 1], normalize=False,
+                  use_cnn_representation=True, combine_voxel=False,
+                  recurrent_network="NIAM_STcell_GCB")
+    model = RepresentationRecurrent(unet_kwargs=kwargs)
+    h, w = 32, 40
+    state = model.init_state(1, h, w)
+    rng = np.random.RandomState(0)
+    n = 500
+    evs = np.zeros((640, 5), np.float32)
+    evs[:n, 0] = rng.randint(0, w, n)
+    evs[:n, 1] = rng.randint(0, h, n)
+    evs[:n, 2] = np.sort(rng.rand(n))
+    evs[:n, 3] = rng.choice([-1, 1], n)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(evs),
+                        jnp.int32(n), state)
+    out, state1 = model.apply(params, jnp.asarray(evs), jnp.int32(n), state)
+    assert out["image"].shape == (1, h, w, 1)
+    assert out["voxel"].shape == (1, h, w, 10)
+    assert np.abs(np.asarray(out["voxel"])).sum() > 0
+    out2, _ = model.apply(params, jnp.asarray(evs), jnp.int32(n), state1)
+    assert not np.allclose(out["image"], out2["image"])
+
+
+def test_nernet_voxelization_matches_reference_semantics():
+    """Events in one bin with t=0 contribute t*w(t)=0; last-time events
+    land in the last positive bin slot."""
+    from v2v_tpu.models.nernet import QuantizationLayerTrail
+    q = QuantizationLayerTrail(num_bins=3, height=4, width=4)
+    evs = np.zeros((8, 5), np.float32)
+    evs[:2, 0] = [1, 2]
+    evs[:2, 1] = [1, 2]
+    evs[:2, 2] = [0.0, 1.0]
+    evs[:2, 3] = [1, 1]
+    params = q.init(jax.random.PRNGKey(0), jnp.asarray(evs), jnp.int32(2))
+    vox = q.apply(params, jnp.asarray(evs), jnp.int32(2))
+    v = np.asarray(vox)[0]                     # (H,W,6)
+    # first event: t=0 -> value 0 everywhere. second: t=2 (scaled C-1)
+    assert v[1, 1].sum() == 0
+    assert np.abs(v[2, 2]).sum() > 0

@@ -1,0 +1,109 @@
+"""Checkpoint-conversion fidelity: build the REFERENCE torch models (from
+/root/reference, when present), convert their state_dicts, and require
+numerical agreement of the recurrent forward over multiple steps.
+
+This is the inference-parity gate for the released checkpoints
+(BASELINE.md acceptance: metrics within 1%)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason="reference repo not mounted")
+
+UNET_KWARGS = dict(
+    num_bins=5, skip_type="sum", recurrent_block_type="convlstm",
+    num_encoders=3, base_num_channels=8, num_residual_blocks=2,
+    use_upsample_conv=True, norm=None)
+
+
+def _torch_model(name, kwargs):
+    sys.path.insert(0, REFERENCE)
+    try:
+        import importlib
+        mod = importlib.import_module("model.model")
+        return getattr(mod, name)
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+def _nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def _run_parity(torch_cls_name, torch_kwargs, flax_model, steps=3,
+                h=32, w=48, atol=2e-4, key="image", kwargs_style="unet"):
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    cls = _torch_model(torch_cls_name, torch_kwargs)
+    if kwargs_style == "unet":
+        tmodel = cls(dict(torch_kwargs))
+    else:                       # FireNet-style flat kwargs
+        tmodel = cls(**torch_kwargs)
+    tmodel.eval()
+
+    rng = np.random.RandomState(0)
+    xs = rng.randn(steps, 1, 5, h, w).astype(np.float32) * 0.5
+
+    with torch.no_grad():
+        tmodel.reset_states()
+        t_outs = [tmodel(torch.tensor(x))[key].numpy() for x in xs]
+
+    from v2v_tpu.models.convert import (torch_state_dict_to_flax,
+                                        validate_against)
+    state = flax_model.init_state(1, h, w)
+    params0 = flax_model.init(jax.random.PRNGKey(0),
+                              jnp.asarray(_nhwc(xs[0])), state)
+    converted = torch_state_dict_to_flax(tmodel.state_dict())
+    params = validate_against(params0, converted, strict=True)
+
+    f_outs = []
+    for x in xs:
+        out, state = flax_model.apply(params, jnp.asarray(_nhwc(x)), state)
+        f_outs.append(np.transpose(np.asarray(out[key]), (0, 3, 1, 2)))
+
+    for i, (t_o, f_o) in enumerate(zip(t_outs, f_outs)):
+        err = np.abs(t_o - f_o).max()
+        assert err < atol, f"step {i}: max abs err {err}"
+
+
+def test_e2vid_recurrent_parity():
+    from v2v_tpu.models.model import E2VIDRecurrent
+    kwargs = dict(UNET_KWARGS, final_activation="")
+    _run_parity("E2VIDRecurrent", kwargs,
+                E2VIDRecurrent(unet_kwargs=kwargs))
+
+
+def test_flownet_parity():
+    from v2v_tpu.models.model import FlowNet
+    kwargs = dict(UNET_KWARGS, num_output_channels=3)
+    _run_parity("FlowNet", kwargs, FlowNet(unet_kwargs=kwargs))
+    _run_parity("FlowNet", kwargs, FlowNet(unet_kwargs=kwargs), key="flow")
+
+
+def test_evflownet_parity():
+    from v2v_tpu.models.model import EVFlowNet
+    kwargs = dict(num_bins=5)
+    _run_parity("EVFlowNet", kwargs, EVFlowNet(unet_kwargs=kwargs),
+                h=32, w=32, key="flow")
+
+
+def test_firenet_parity():
+    from v2v_tpu.models.model import FireNet
+    kwargs = dict(num_bins=5, base_num_channels=16, kernel_size=3)
+    _run_parity("FireNet", {"num_bins": 5, "base_num_channels": 16,
+                            "kernel_size": 3},
+                FireNet(unet_kwargs=kwargs), kwargs_style="flat")
+
+
+def test_convgru_variant_parity():
+    from v2v_tpu.models.model import E2VIDRecurrent
+    kwargs = dict(UNET_KWARGS, recurrent_block_type="convgru",
+                  final_activation="")
+    _run_parity("E2VIDRecurrent", kwargs,
+                E2VIDRecurrent(unet_kwargs=kwargs))

@@ -1,0 +1,85 @@
+"""Flow task tests: interface forward, metrics, end-to-end flow harness."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from test_data import make_hqf_h5
+from v2v_tpu.training.flow_interface import (FlowModelInterface, flow2rgb_np,
+                                             flow_metrics)
+
+FLOW_CFG = {
+    "loss": {"l1_weight": 1.0, "optical_flow_source": "gt"},
+    "forward_type": "evflow",
+    "model": {"target": "model.model.EVFlowNet",
+              "params": {"unet_kwargs": {"num_bins": 5}}},
+}
+
+
+def test_flow_forward_and_loss():
+    iface = FlowModelInterface(FLOW_CFG)
+    params, _ = iface.init(jax.random.PRNGKey(0), 2, 32, 32)
+    events = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32, 5))
+    state = iface.init_state(2, 32, 32)
+    pred, _ = iface.forward_sequence(params, events, state)
+    assert pred.shape == (2, 3, 32, 32, 2)
+    loss, aux = iface.calc_loss(pred, {
+        "flow": jnp.zeros((2, 3, 32, 32, 2)),
+        "data_source_idx": jnp.zeros((2,), jnp.int32)})
+    assert np.isfinite(float(loss))
+    assert "l1_loss" in aux
+
+
+def test_flow_metrics_masks():
+    h, w = 8, 8
+    pred = np.zeros((1, 1, h, w, 2))
+    gt = np.ones((1, 1, h, w, 2))
+    gt[0, 0, 0, 0] = np.nan          # invalid pixel
+    gt[0, 0, 1, 1] = 0.0             # both-zero -> invalid
+    events = np.zeros((1, 1, h, w, 5))
+    events[0, 0, :4] = 1.0           # events only in top rows
+    m = flow_metrics(pred, gt, events, "MVSEC/test")
+    epe = m["MVSEC/test/dense_EPE"][0]
+    # |pred-gt| = sqrt(2) on the 62 valid pixels
+    assert abs(epe - np.sqrt(2)) < 1e-6
+    assert m["MVSEC/test/dense_1PE"][0] == 1.0
+    assert m["MVSEC/test/dense_3PE"][0] == 0.0
+    s_epe = m["MVSEC/test/sparse_EPE"][0]
+    assert abs(s_epe - np.sqrt(2)) < 1e-6
+
+
+def test_flow2rgb():
+    h, w = 16, 16
+    fx = np.ones((h, w))
+    fy = np.zeros((h, w))
+    rgb = flow2rgb_np(fx, fy)
+    assert rgb.shape == (h, w, 3) and rgb.dtype == np.uint8
+    # pure +x flow maps to hue 0.5 (cyan-ish); magnitude saturates v=1
+    assert rgb.max() == 255
+    # zero flow -> black
+    assert flow2rgb_np(np.zeros((4, 4)), np.zeros((4, 4))).max() == 0
+
+
+def test_flow_harness_end_to_end(tmp_path):
+    from v2v_tpu.eval.flow_harness import run_single_test
+    h5 = make_hqf_h5(str(tmp_path / "indoor_flying1.h5"), n_frames=7,
+                     with_flow=True)
+    (tmp_path / "flow_test.txt").write_text(h5 + "\n")
+    cfg = {
+        "experiment_name": "flow_smoke", "task": "flow",
+        "test_output_dir": "results/flow_smoke", "save_npy": True,
+        "module": FLOW_CFG,
+        "test_stage": {"test_num_workers": 1, "test": [{
+            "data_file": str(tmp_path / "flow_test.txt"),
+            "class_name": "data.testh5.TestH5FlowDataset",
+            "dataset_name": "mvsec", "num_bins": 5, "sequence_length": 5}]},
+    }
+    result = run_single_test(None, cfg, root=str(tmp_path))
+    assert "MVSEC/indoor_flying1/dense_EPE" in result
+    dump = os.path.join(str(tmp_path), "results/flow_smoke/MVSEC/"
+                        "indoor_flying1")
+    files = os.listdir(dump)
+    assert any(f.endswith("_flow.png") for f in files)
+    assert any(f.endswith(".npy") for f in files)

@@ -1,0 +1,152 @@
+"""Dataset composition + a torch-free batching loader.
+
+Replaces the reference's pandas/ConcatDataset/DataLoader stack
+(data/data_interface.py:6-27, train.py:52-65): file-of-paths -> concat of
+per-file datasets; list-of-config -> concat of concats. The loader
+shuffles with a per-epoch seed, collates numpy batches, prefetches with
+threads, and shards sample indices per host (the DistributedSampler
+replacement — each JAX process takes a disjoint slice).
+"""
+from __future__ import annotations
+
+import bisect
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import resolve_target
+
+
+class ConcatDataset:
+    def __init__(self, datasets: Sequence[Any]):
+        self.datasets = list(datasets)
+        self.cum = np.cumsum([len(d) for d in self.datasets]).tolist()
+
+    def __len__(self) -> int:
+        return self.cum[-1] if self.cum else 0
+
+    def __getitem__(self, idx: int):
+        ds_idx = bisect.bisect_right(self.cum, idx)
+        prev = self.cum[ds_idx - 1] if ds_idx > 0 else 0
+        return self.datasets[ds_idx][idx - prev]
+
+
+def read_path_list(data_file: str) -> List[str]:
+    with open(data_file) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def make_concat_dataset(configs: Dict[str, Any]) -> ConcatDataset:
+    """One config block -> ConcatDataset over its data_file paths
+    (data/data_interface.py:6-21)."""
+    data_paths = read_path_list(configs["data_file"])
+    begin = configs.get("begin_seq", 0)
+    end = configs.get("end_seq", len(data_paths))
+    cls = resolve_target(configs["class_name"])
+    return ConcatDataset([cls(p, configs) for p in data_paths[begin:end]])
+
+
+def make_concat_multi_dataset(configs: List[Dict[str, Any]]) -> ConcatDataset:
+    return ConcatDataset([make_concat_dataset(c) for c in configs])
+
+
+def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack numpy/scalar fields into a leading batch dim; keep
+    strings/lists as python lists."""
+    out: Dict[str, Any] = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        first = vals[0]
+        if isinstance(first, np.ndarray):
+            out[k] = np.stack(vals)
+        elif isinstance(first, (int, float, np.integer, np.floating)):
+            out[k] = np.asarray(vals)
+        else:
+            out[k] = vals
+    return out
+
+
+class DataLoader:
+    """Threaded prefetching loader with per-host index sharding."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 4,
+                 seed: int = 0, process_index: int = 0,
+                 process_count: int = 1, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # per-host shard (DistributedSampler replacement)
+        return idx[self.process_index::self.process_count]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        indices = self._indices()
+        nb = len(self)
+        batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+        if self.num_workers <= 1:
+            for bidx in batches:
+                yield collate([self.dataset[int(i)] for i in bidx])
+            return
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        task_q: "queue.Queue" = queue.Queue()
+        for pos, bidx in enumerate(batches):
+            task_q.put((pos, bidx))
+
+        results: Dict[int, Any] = {}
+        lock = threading.Lock()
+
+        def worker():
+            while True:
+                try:
+                    pos, bidx = task_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    batch = collate([self.dataset[int(i)] for i in bidx])
+                except Exception as e:       # surface errors to consumer
+                    batch = e
+                out_q.put((pos, batch))
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        next_pos = 0
+        received = 0
+        while received < nb:
+            pos, batch = out_q.get()
+            received += 1
+            with lock:
+                results[pos] = batch
+            while next_pos in results:
+                b = results.pop(next_pos)
+                next_pos += 1
+                if isinstance(b, Exception):
+                    raise b
+                yield b

@@ -190,6 +190,14 @@ class LPIPS:
         if in0.shape[-1] == 1:
             in0 = jnp.repeat(in0, 3, axis=-1)
             in1 = jnp.repeat(in1, 3, axis=-1)
+        # small-input guard: AlexNet's pools need >= ~64px (tiny inputs
+        # produce empty feature maps -> nan); upsample, off the
+        # reference's benchmark path (all test sets are >= 180p)
+        b, h, w, c = in0.shape
+        if h < 64 or w < 64:
+            shape = (b, max(h, 64), max(w, 64), c)
+            in0 = jax.image.resize(in0, shape, "bilinear")
+            in1 = jax.image.resize(in1, shape, "bilinear")
         return self.module.apply(self.params, in0, in1)
 
     def __call__(self, in0: Array, in1: Array, normalize: bool = True) -> Array:

@@ -1,0 +1,237 @@
+"""ETNet / EITR: recurrent conv encoders + 3-scale transformer pyramid.
+
+Flax re-design of the reference EITR (model/eitr/*): head conv -> 3
+strided ConvLSTM encoders (32->64->128->256) -> per-scale tokenization to
+d=256 -> 3x pre-norm transformer encoders (3 layers) + decoders (2
+layers, cross-attending coarser scales) -> token-mean fusion -> upsample
+conv decoders with sum skips -> 1x1 pred -> sigmoid.
+Pads H,W to x8 internally (model/eitr/eitr.py:20-34).
+
+Attention fuses into MXU matmuls; tokens are (H/8 * W/8, 256) — small
+enough that full attention is the right TPU shape (no ring needed,
+SURVEY.md §5 long-context note).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.pad import CropParameters
+from .submodules import ConvLayer, RecurrentConvLayer, UpsampleConvLayer
+from .unet import _encoder_states, UNetConfig
+
+Array = jax.Array
+
+
+def sinusoid_pos_table(n_position: int, d_hid: int) -> np.ndarray:
+    """1-D sine/cosine table over token index
+    (model/eitr/position_encoding.py:12-19)."""
+    pos = np.arange(n_position)[:, None]
+    dim = np.arange(d_hid)[None, :]
+    angle = pos / np.power(10000, 2 * (dim // 2) / d_hid)
+    table = np.zeros((n_position, d_hid), np.float32)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table
+
+
+class MultiheadAttention(nn.Module):
+    """torch-compatible MHA: packed qkv projection + out projection.
+    Parameter names match the converter (in_proj / out_proj)."""
+    d_model: int
+    nhead: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, q: Array, k: Array, v: Array,
+                 train: bool = False) -> Array:
+        d, h = self.d_model, self.nhead
+        dh = d // h
+        # packed qkv projection (torch in_proj layout: output rows
+        # [q; k; v]); project each input with its slice.
+        kernel = self.param("in_proj_kernel",
+                            nn.initializers.xavier_uniform(), (d, 3 * d))
+        bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
+        pq = q @ kernel[:, :d] + bias[:d]
+        pk = k @ kernel[:, d:2 * d] + bias[d:2 * d]
+        pv = v @ kernel[:, 2 * d:] + bias[2 * d:]
+
+        def heads(x):   # (B,N,D) -> (B,h,N,dh)
+            b, nn_, _ = x.shape
+            return x.reshape(b, nn_, h, dh).transpose(0, 2, 1, 3)
+
+        aq, ak, av = heads(pq), heads(pk), heads(pv)
+        logits = jnp.einsum("bhnd,bhmd->bhnm", aq, ak,
+                            preferred_element_type=jnp.float32) / np.sqrt(dh)
+        attn = jax.nn.softmax(logits, axis=-1)
+        if train and self.dropout > 0:
+            attn = nn.Dropout(self.dropout, deterministic=False)(attn)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, av)
+        b, _, n_, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n_, d)
+        return nn.Dense(d, name="out_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-norm self-attention + FFN
+    (model/eitr/transformer_encoder.py:48-76)."""
+    d_model: int = 256
+    nhead: int = 8
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, src: Array, train: bool = False) -> Array:
+        q = nn.LayerNorm(name="norm1")(src)
+        src1 = MultiheadAttention(self.d_model, self.nhead, self.dropout,
+                                  name="self_attn")(q, q, q, train)
+        src2 = src + _drop(src1, self.dropout, train)
+        x = nn.LayerNorm(name="norm2")(src2)
+        x = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        x = _drop(nn.relu(x), self.dropout, train)
+        x = nn.Dense(self.d_model, name="linear2")(x)
+        return src2 + _drop(x, self.dropout, train)
+
+
+class DecoderLayer(nn.Module):
+    """Pre-norm self + cross attention + FFN
+    (model/eitr/transformer_decoder.py:44-82)."""
+    d_model: int = 256
+    nhead: int = 8
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, tgt: Array, memory: Array,
+                 train: bool = False) -> Array:
+        q = nn.LayerNorm(name="norm1")(tgt)
+        tgt1 = MultiheadAttention(self.d_model, self.nhead, self.dropout,
+                                  name="self_attn")(q, q, q, train)
+        tgt2 = tgt + _drop(tgt1, self.dropout, train)
+        q = nn.LayerNorm(name="norm21")(tgt2)
+        kv = nn.LayerNorm(name="norm22")(memory)
+        tgt3 = MultiheadAttention(self.d_model, self.nhead, self.dropout,
+                                  name="cross_attn")(q, kv, kv, train)
+        tgt4 = tgt2 + _drop(tgt3, self.dropout, train)
+        x = nn.LayerNorm(name="norm3")(tgt4)
+        x = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        x = _drop(nn.relu(x), self.dropout, train)
+        x = nn.Dense(self.d_model, name="linear2")(x)
+        return tgt4 + _drop(x, self.dropout, train)
+
+
+def _drop(x, rate, train):
+    return nn.Dropout(rate, deterministic=not train)(x) if train else x
+
+
+class TransformerEncoder(nn.Module):
+    num_layers: int = 3
+    d_model: int = 256
+    nhead: int = 8
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, src: Array, pos: Array, train: bool = False) -> Array:
+        x = src + pos
+        for i in range(self.num_layers):
+            x = EncoderLayer(self.d_model, self.nhead, self.dim_feedforward,
+                             self.dropout, name=f"layers_{i}")(x, train)
+        return x
+
+
+class TransformerDecoder(nn.Module):
+    num_layers: int = 2
+    d_model: int = 256
+    nhead: int = 8
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, tgt: Array, memory: Array,
+                 train: bool = False) -> Array:
+        x = tgt
+        for i in range(self.num_layers):
+            x = DecoderLayer(self.d_model, self.nhead, self.dim_feedforward,
+                             self.dropout, name=f"layers_{i}")(x, memory, train)
+        return x
+
+
+class EITR(nn.Module):
+    """Reference target `model.eitr.eitr.EITR` (eitr_kwargs: num_bins,
+    norm). State: 3 ConvLSTM states."""
+    eitr_kwargs: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self, x: Array, state: List[Any], train: bool = False
+                 ) -> Tuple[Dict[str, Array], List[Any]]:
+        num_bins = self.eitr_kwargs.get("num_bins", 5)
+        norm = self.eitr_kwargs.get("norm")
+        if norm in ("none", "None", ""):
+            norm = None
+        b, h_in, w_in, _ = x.shape
+        cp = CropParameters(w_in, h_in, 3)      # pad to x8, centered
+        if (h_in % 8) or (w_in % 8):
+            x = cp.pad(x)
+        h, w = x.shape[1:3]
+
+        x = ConvLayer(32, 5, 1, norm=norm, name="head")(x, train=train)
+        head = x
+        blocks, new_states = [], []
+        for i, ch in enumerate((64, 128, 256)):
+            x, s = RecurrentConvLayer(ch, 5, 2, "convlstm", norm=norm,
+                                      name=f"DownsampleConv_{i}")(
+                x, state[i], train=train)
+            blocks.append(x)
+            new_states.append(s)
+
+        d = 256
+        # scale 0: coarsest feature map, 1x1 tokens
+        words0 = blocks[-1].reshape(b, -1, d)
+        # scale 1: 2x2-patch conv on the 128ch map
+        w1 = nn.Conv(d, (2, 2), strides=(2, 2), padding="VALID",
+                     name="split1")(blocks[-2])
+        words1 = w1.reshape(b, -1, d)
+        # scale 2: 4x4-patch conv on the 64ch map
+        w2 = nn.Conv(d, (4, 4), strides=(4, 4), padding="VALID",
+                     name="split2")(blocks[-3])
+        words2 = w2.reshape(b, -1, d)
+
+        n_tok = words0.shape[1]
+        pos = jnp.asarray(sinusoid_pos_table(n_tok, d))[None]
+
+        hs0 = TransformerEncoder(3, name="trans_encoder0")(words0, pos, train)
+        hs1 = TransformerEncoder(3, name="trans_encoder1")(words1, pos, train)
+        hs2 = TransformerEncoder(3, name="trans_encoder2")(words2, pos, train)
+        hc0 = TransformerDecoder(2, name="trans_decoder0")(hs0, hs0, train)
+        hc1 = TransformerDecoder(2, name="trans_decoder1")(hs1, hs0, train)
+        hc2 = TransformerDecoder(2, name="trans_decoder2")(hs2, hs1, train)
+
+        hs = (hs0 + hs1 + hs2 + hc0 + hc1 + hc2) / 6.0
+        hs = hs.reshape(b, h // 8, w // 8, d)
+
+        # skips: blocks[2] (256ch), blocks[1] (128), blocks[0] (64)
+        # (reference u_trans.py:107-108)
+        for i, ch in enumerate((128, 64, 32)):
+            hs = UpsampleConvLayer(ch, 5, norm=norm,
+                                   name=f"UpsampleConv_{i}")(
+                hs + blocks[2 - i], train=train)
+        img = ConvLayer(1, 1, activation=None, norm=norm, name="pred")(
+            hs + head, train=train)
+        img = nn.sigmoid(img)
+        if (h_in % 8) or (w_in % 8):
+            img = cp.crop(img)
+        return {"image": img}, new_states
+
+    @nn.nowrap
+    def init_state(self, batch: int, height: int, width: int,
+                   dtype=jnp.float32) -> List[Any]:
+        height = -(-height // 8) * 8
+        width = -(-width // 8) * 8
+        cfg = UNetConfig(base_num_channels=32, num_encoders=3,
+                         recurrent_block_type="convlstm")
+        return _encoder_states(cfg, batch, height, width, dtype)

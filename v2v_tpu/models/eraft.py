@@ -1,0 +1,358 @@
+"""ERAFT: RAFT for events (reference model/eraft/*).
+
+Two BasicEncoders (instance/batch norm), all-pairs 4-level correlation
+volume with 9x9 bilinear pyramid lookup, SepConvGRU update block iterated
+12 times, convex 8x upsampling, and the warm-start carry (previous
+low-res flow forward-splatted to its advected positions,
+model/eraft/image_utils.py:53-84).
+
+TPU design notes:
+  * The all-pairs correlation is one einsum -> MXU
+    (replaces alt_cuda_corr, model/eraft/corr.py:5-9).
+  * The 12 update iterations run under lax.scan (single compiled body).
+  * The pyramid lookup is a batched bilinear gather; a Pallas kernel is
+    the known next optimization (SURVEY.md §2.10).
+  * Left/top zero padding to x32 mirrors ImagePadder
+    (image_utils.py:85-120).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def instance_norm(x: Array, eps: float = 1e-5) -> Array:
+    """torch InstanceNorm2d(affine=False, track_running_stats=False)."""
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with stored statistics (checkpoint-exact inference)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,)))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,)))
+        return (x - mean.value) * jax.lax.rsqrt(var.value + 1e-5) * scale + bias
+
+
+def _norm(norm_fn: str, features: int, name: str):
+    if norm_fn == "batch":
+        return FrozenBatchNorm(features, name=name)
+    if norm_fn == "instance":
+        return lambda x: instance_norm(x)
+    if norm_fn == "none":
+        return lambda x: x
+    raise ValueError(norm_fn)
+
+
+class RaftResidualBlock(nn.Module):
+    """(model/eraft/extractor.py:7-57)"""
+    planes: int
+    norm_fn: str = "instance"
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), name="conv1")(x)
+        n1 = _norm(self.norm_fn, self.planes, "norm1")
+        y = nn.relu(n1(y))
+        y = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
+                    name="conv2")(y)
+        n2 = _norm(self.norm_fn, self.planes, "norm2")
+        y = nn.relu(n2(y))
+        if self.stride != 1:
+            x = nn.Conv(self.planes, (1, 1),
+                        strides=(self.stride, self.stride),
+                        name="downsample_0")(x)
+            n3 = _norm(self.norm_fn, self.planes, "norm3")
+            x = n3(x)
+        return nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """(model/eraft/extractor.py:119-189)"""
+    output_dim: int = 256
+    norm_fn: str = "instance"
+    n_first_channels: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    name="conv1")(x)
+        n1 = _norm(self.norm_fn, 64, "norm1")
+        x = nn.relu(n1(x))
+        for li, (dim, stride) in enumerate([(64, 1), (96, 2), (128, 2)],
+                                           start=1):
+            x = RaftResidualBlock(dim, self.norm_fn, stride,
+                                  name=f"layer{li}_0")(x)
+            x = RaftResidualBlock(dim, self.norm_fn, 1,
+                                  name=f"layer{li}_1")(x)
+        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+
+
+def correlation_pyramid(fmap1: Array, fmap2: Array,
+                        num_levels: int = 4) -> List[Array]:
+    """All-pairs correlation + avg-pooled pyramid
+    (model/eraft/corr.py:12-27). fmaps (B,H,W,C)."""
+    b, h, w, c = fmap1.shape
+    f1 = fmap1.reshape(b, h * w, c)
+    f2 = fmap2.reshape(b, h * w, c)
+    corr = jnp.einsum("bnc,bmc->bnm", f1, f2,
+                      preferred_element_type=jnp.float32) / np.sqrt(c)
+    corr = corr.reshape(b * h * w, h, w, 1)
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        bb, hh, ww, _ = corr.shape
+        if hh >= 2 and ww >= 2:
+            corr = corr.reshape(bb, hh // 2, 2, ww // 2, 2, 1).mean(axis=(2, 4))
+        pyramid.append(corr)
+    return pyramid
+
+
+def _bilinear_gather(img: Array, gx: Array, gy: Array) -> Array:
+    """img (N,H,W,1), gx/gy (N,K): bilinear sample with zero padding."""
+    n, h, w, _ = img.shape
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    tx = gx - x0
+    ty = gy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xi = jnp.clip(xi, 0, w - 1)
+        yi = jnp.clip(yi, 0, h - 1)
+        bidx = jnp.arange(n)[:, None]
+        return img[bidx, yi, xi, 0] * inb
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    return ((v00 * (1 - tx) + v01 * tx) * (1 - ty)
+            + (v10 * (1 - tx) + v11 * tx) * ty)
+
+
+def lookup_pyramid(pyramid: List[Array], coords: Array,
+                   radius: int = 4) -> Array:
+    """9x9 bilinear lookup around coords at each level
+    (model/eraft/corr.py:29-50). coords (B,H,W,2) pixel units at level 0.
+    Returns (B,H,W,num_levels*(2r+1)^2)."""
+    b, h, w, _ = coords.shape
+    r = radius
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    # Parity quirk kept from the reference (model/eraft/corr.py:37-43):
+    # delta = stack(meshgrid(dy, dx)) is added to (x, y) coords, so the
+    # x offset walks the ROW index and the y offset the COLUMN index of
+    # the 9x9 window. The 81-channel order feeds convc1, so conversion
+    # fidelity requires reproducing it exactly.
+    dy, dx = jnp.meshgrid(d, d, indexing="ij")      # dy[i,j]=d[i]
+    off_x = dy.reshape(1, -1)
+    off_y = dx.reshape(1, -1)
+    out = []
+    flat_coords = coords.reshape(b * h * w, 2)
+    for i, corr in enumerate(pyramid):
+        cx = flat_coords[:, 0:1] / (2 ** i) + off_x
+        cy = flat_coords[:, 1:2] / (2 ** i) + off_y
+        vals = _bilinear_gather(corr, cx, cy)       # (BHW, 81)
+        out.append(vals.reshape(b, h, w, -1))
+    return jnp.concatenate(out, axis=-1)
+
+
+class BasicMotionEncoder(nn.Module):
+    """(model/eraft/update.py:63-81)"""
+    corr_planes: int = 4 * 81
+
+    @nn.compact
+    def __call__(self, flow: Array, corr: Array) -> Array:
+        cor = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
+        cor = nn.relu(nn.Conv(192, (3, 3), padding=((1, 1), (1, 1)),
+                              name="convc2")(cor))
+        flo = nn.relu(nn.Conv(128, (7, 7), padding=((3, 3), (3, 3)),
+                              name="convf1")(flow))
+        flo = nn.relu(nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)),
+                              name="convf2")(flo))
+        out = nn.relu(nn.Conv(126, (3, 3), padding=((1, 1), (1, 1)),
+                              name="conv")(jnp.concatenate([cor, flo], -1)))
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class SepConvGRU(nn.Module):
+    """(model/eraft/update.py:33-60)"""
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array) -> Array:
+        d = self.hidden_dim
+        for suffix, k, pad in (("1", (1, 5), ((0, 0), (2, 2))),
+                               ("2", (5, 1), ((2, 2), (0, 0)))):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(nn.Conv(d, k, padding=pad,
+                                   name=f"convz{suffix}")(hx))
+            r = nn.sigmoid(nn.Conv(d, k, padding=pad,
+                                   name=f"convr{suffix}")(hx))
+            q = jnp.tanh(nn.Conv(d, k, padding=pad, name=f"convq{suffix}")(
+                jnp.concatenate([r * h, x], axis=-1)))
+            h = (1 - z) * h + z * q
+        return h
+
+
+class FlowHead(nn.Module):
+    """(model/eraft/update.py:6-14)"""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)),
+                            name="conv1")(x))
+        return nn.Conv(2, (3, 3), padding=((1, 1), (1, 1)),
+                       name="conv2")(y)
+
+
+class BasicUpdateBlock(nn.Module):
+    """(model/eraft/update.py:84-106)"""
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, net: Array, inp: Array, corr: Array, flow: Array):
+        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(self.hidden_dim, name="gru")(net, x)
+        delta_flow = FlowHead(name="flow_head")(net)
+        m = nn.relu(nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)),
+                            name="mask_0")(net))
+        mask = 0.25 * nn.Conv(64 * 9, (1, 1), name="mask_2")(m)
+        return net, mask, delta_flow
+
+
+def convex_upsample(flow: Array, mask: Array) -> Array:
+    """Convex combination 8x upsampling (model/eraft/eraft.py:66-77).
+    flow (B,H,W,2), mask (B,H,W,64*9) -> (B,8H,8W,2)."""
+    b, h, w, _ = flow.shape
+    mask = mask.reshape(b, h, w, 9, 8, 8)           # torch view(N,1,9,8,8,H,W)
+    mask = jax.nn.softmax(mask, axis=3)
+    f8 = 8.0 * flow
+    fp = jnp.pad(f8, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # 3x3 neighborhood in torch-unfold order (row-major)
+    neigh = jnp.stack([fp[:, i:i + h, j:j + w, :]
+                       for i in range(3) for j in range(3)],
+                      axis=3)                        # (B,H,W,9,2)
+    up = jnp.einsum("bhwkij,bhwkc->bhwijc", mask, neigh)
+    # (B,H,W,8,8,2) -> (B,8H,8W,2)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(b, 8 * h, 8 * w, 2)
+
+
+def forward_interpolate(flow: Array) -> Array:
+    """Forward-splat the flow to its advected positions (warm start,
+    model/eraft/image_utils.py:10-84). flow (B,H,W,2)."""
+    b, h, w, _ = flow.shape
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    x1 = (xs + flow[..., 0]).reshape(b, -1)
+    y1 = (ys + flow[..., 1]).reshape(b, -1)
+    vals = flow.reshape(b, -1, 2)
+
+    def splat(x1b, y1b, vb):
+        acc = jnp.zeros((h * w, 2))
+        wacc = jnp.zeros((h * w,))
+        for fx in (jnp.floor(x1b), jnp.ceil(x1b)):
+            for fy in (jnp.floor(y1b), jnp.ceil(y1b)):
+                inb = (fx >= 0) & (fx < w) & (fy >= 0) & (fy < h)
+                weight = (1 - jnp.abs(x1b - fx)) * (1 - jnp.abs(y1b - fy))
+                idx = (fx + w * fy).astype(jnp.int32)
+                idx = jnp.where(inb, idx, h * w)     # drop OOB
+                acc = acc.at[idx].add(vb * (weight * inb)[:, None],
+                                      mode="drop")
+                wacc = wacc.at[idx].add(weight * inb, mode="drop")
+        return (acc / (wacc[:, None] + 1e-15)).reshape(h, w, 2)
+
+    return jax.vmap(splat)(x1, y1, vals)
+
+
+def _pad32(x: Array) -> Tuple[Array, Tuple[int, int]]:
+    """Left/top zero pad to x32 (ImagePadder semantics)."""
+    h, w = x.shape[1:3]
+    ph = (32 - h % 32) % 32
+    pw = (32 - w % 32) % 32
+    return jnp.pad(x, ((0, 0), (ph, 0), (pw, 0), (0, 0))), (ph, pw)
+
+
+class ERAFT(nn.Module):
+    """Reference target `model.eraft.eraft.ERAFT`
+    (config: {'subtype': 'standard'|'warm_start'}, n_first_channels).
+    State = previous low-res flow splat (B, Hp/8, Wp/8, 2) at the padded
+    resolution; `init_state` returns zeros (== flow_init None)."""
+    config: Dict[str, Any]
+    n_first_channels: int = 5
+    iters: int = 12
+
+    @nn.compact
+    def __call__(self, voxel1: Array, voxel2: Array, state: Array,
+                 train: bool = False):
+        subtype = self.config["subtype"].lower()
+        hdim = cdim = 128
+        img1, (ph, pw) = _pad32(voxel1)
+        img2, _ = _pad32(voxel2)
+
+        fnet = BasicEncoder(256, "instance", self.n_first_channels,
+                            name="fnet")
+        both = jnp.concatenate([img1, img2], axis=0)   # batched trunk call
+        fmaps = fnet(both)
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        pyramid = correlation_pyramid(fmap1, fmap2)
+
+        cnet = BasicEncoder(hdim + cdim, "batch", self.n_first_channels,
+                            name="cnet")(img2)
+        net, inp = jnp.split(cnet, [hdim], axis=-1)
+        net = jnp.tanh(net)
+        inp = nn.relu(inp)
+
+        b, h8, w8, _ = fmap1.shape
+        xs = jnp.arange(w8, dtype=jnp.float32)[None, None, :]
+        ys = jnp.arange(h8, dtype=jnp.float32)[None, :, None]
+        coords0 = jnp.stack([jnp.broadcast_to(xs, (b, h8, w8)),
+                             jnp.broadcast_to(ys, (b, h8, w8))], axis=-1)
+        coords1 = coords0
+        if subtype == "warm_start":
+            coords1 = coords1 + state
+
+        update = BasicUpdateBlock(hdim, name="update_block")
+
+        # refinement iterations (python loop: flax params shared across
+        # calls; only the final iteration's mask/upsample is used,
+        # reference keeps flow_list[-1], eraft.py:141-146)
+        up_mask = None
+        for _ in range(self.iters):
+            coords1 = jax.lax.stop_gradient(coords1)
+            corr = lookup_pyramid(pyramid, coords1)
+            flow = coords1 - coords0
+            net, up_mask, delta = update(net, inp, corr, flow)
+            coords1 = coords1 + delta
+        flow_low = coords1 - coords0
+        flow_up = convex_upsample(flow_low, up_mask)
+        # unpad (left/top)
+        flow_up = flow_up[:, ph:, pw:, :]
+        new_state = forward_interpolate(jax.lax.stop_gradient(flow_low))
+        return {"flow": flow_up}, new_state
+
+    @nn.nowrap
+    def init_state(self, batch: int, height: int, width: int,
+                   dtype=jnp.float32) -> Array:
+        ph = -(-height // 32) * 32
+        pw = -(-width // 32) * 32
+        return jnp.zeros((batch, ph // 8, pw // 8, 2), dtype)

@@ -1,0 +1,257 @@
+"""HyperE2VID: E2VID UNet whose first decoder is a hypernetwork dynamic
+convolution (reference model/hyper_model.py + model/hyper/hyper_dynamic.py).
+
+Context fusion of (voxel, previous reconstruction) -> per-pixel dynamic
+atoms over multiscale Fourier-Bessel bases -> per-pixel dynamic conv.
+The bases ship as precomputed data (weights/fourier_bessel_bases.npz,
+derived from the DCFNet bessel-zero table the reference vendors as
+bessel.npy).
+
+TPU design notes:
+  * torch's unfold+einsum dynamic conv maps to 25 shifted slices + one
+    einsum — XLA fuses the slices; the einsum and the 1x1 composition
+    conv hit the MXU.
+  * `prev_recs` feedback is part of the explicit model state
+    (encoder states, prev_recs) instead of a mutated attribute; the GT
+    mixing curriculum beta (train_utils.py:307) enters as an argument.
+  * BatchNorms in the atom generator run with stored statistics in both
+    modes (exact for converted-checkpoint inference; training from
+    scratch treats them as affine maps).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .submodules import ConvLayer, RecurrentConvLayer, ResidualBlock
+from .unet import UNetConfig, _Decoders, _encoder_states
+
+Array = jax.Array
+
+_BASES_PATH = os.path.join(os.path.dirname(__file__), "weights",
+                           "fourier_bessel_bases.npz")
+
+
+def fourier_bessel_bases(kernel_size: int) -> np.ndarray:
+    """(num_multiscale_bases, ks*ks) basis matrix."""
+    data = np.load(_BASES_PATH)
+    return data[f"ks{kernel_size}"]
+
+
+class ConvolutionalContextFusion(nn.Module):
+    """concat(events, prev_recs) -> bilinear /4 -> conv3x3
+    (hyper_dynamic.py:7-23)."""
+    out_channels: int = 32
+    downsample_factor: int = 4
+
+    @nn.compact
+    def __call__(self, ev: Array, prev_recs: Array) -> Array:
+        ctx = jnp.concatenate([ev, prev_recs], axis=-1)
+        b, h, w, c = ctx.shape
+        # torch F.interpolate downsampling does NOT antialias
+        ctx = jax.image.resize(
+            ctx, (b, h // self.downsample_factor, w // self.downsample_factor,
+                  c), method="bilinear", antialias=False)
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                       name="conv")(ctx)
+
+
+class _FrozenBN(nn.Module):
+    """BatchNorm evaluated with stored statistics (see module docstring)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,)))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,)))
+        inv = jax.lax.rsqrt(var.value + 1e-5)
+        return (x - mean.value) * inv * scale + bias
+
+
+class DynamicAtomGeneration(nn.Module):
+    """context -> per-pixel atoms over Fourier-Bessel bases
+    (hyper_dynamic.py:26-57)."""
+    kernel_size: int = 5
+    num_atoms: int = 6
+    num_bases: int = 6
+    hid_channels: int = 64
+
+    @nn.compact
+    def __call__(self, context: Array) -> Array:
+        bases = jnp.asarray(fourier_bessel_bases(self.kernel_size))
+        num_ms = bases.shape[0]
+        x = nn.Conv(self.hid_channels, (3, 3), padding="SAME",
+                    name="bases_net_0")(context)
+        x = jnp.tanh(_FrozenBN(self.hid_channels, name="bases_net_1")(x))
+        x = nn.Conv(self.num_atoms * num_ms, (3, 3), padding="SAME",
+                    name="bases_net_3")(x)
+        x = jnp.tanh(_FrozenBN(self.num_atoms * num_ms,
+                               name="bases_net_4")(x))
+        b, h, w, _ = x.shape
+        coeff = x.reshape(b, h, w, self.num_atoms, num_ms)
+        # (B,H,W,m,K) x (K,L) -> (B,H,W,m,L)
+        return jnp.einsum("bhwmk,kl->bhwml", coeff, bases,
+                          preferred_element_type=jnp.float32)
+
+
+class DynamicConv(nn.Module):
+    """Per-pixel dynamic convolution via shifted slices + einsum + 1x1
+    composition (hyper_dynamic.py:60-92)."""
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 5
+    num_atoms: int = 6
+
+    @nn.compact
+    def __call__(self, x: Array, atoms: Array) -> Array:
+        k = self.kernel_size
+        p = k // 2
+        b, h, w, c = x.shape
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        # patches in torch-unfold order: row-major over the kxk window
+        patches = jnp.stack(
+            [xp[:, i:i + h, j:j + w, :] for i in range(k) for j in range(k)],
+            axis=-1)                                   # (B,H,W,C,k*k)
+        inter = jnp.einsum("bhwml,bhwcl->bhwcm", atoms, patches,
+                           preferred_element_type=jnp.float32)
+        inter = inter.reshape(b, h, w, c * self.num_atoms)
+        kernel = self.param(
+            "compositional_coefficients",
+            nn.initializers.kaiming_normal(),
+            (1, 1, self.in_channels * self.num_atoms, self.out_channels))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        return jax.lax.conv_general_dilated(
+            inter, kernel, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+
+
+class DynamicUpsampleLayer(nn.Module):
+    """bilinear x2 + context-conditioned dynamic conv
+    (hyper_model.py:33-60)."""
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 5
+    in_fuse_channels: int = 6
+    out_fuse_channels: int = 32
+    num_atoms: int = 6
+
+    @nn.compact
+    def __call__(self, x: Array, ev_tensor: Array, prev_recs: Array) -> Array:
+        b, h, w, c = x.shape
+        x_up = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+        ctx = ConvolutionalContextFusion(
+            self.out_fuse_channels, name="context_fusion")(ev_tensor,
+                                                           prev_recs)
+        atoms = DynamicAtomGeneration(
+            self.kernel_size, self.num_atoms,
+            name="dynamic_atom_generation")(ctx)
+        out = DynamicConv(self.in_channels, self.out_channels,
+                          self.kernel_size, self.num_atoms,
+                          name="dynamic_conv")(x_up, atoms)
+        return nn.relu(out)
+
+
+class _HyperDecoders(nn.Module):
+    """Decoder stack with the dynamic first decoder
+    (hyper_model.py:107-124,182-187)."""
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, x: Array, blocks, ev_tensor: Array, prev_recs: Array,
+                 train: bool = False) -> Array:
+        cfg = self.cfg
+        out_sizes = list(reversed(cfg.encoder_input_sizes))
+        in_sizes = list(reversed(cfg.encoder_output_sizes))
+        for i, features in enumerate(out_sizes):
+            skip = cfg.skip_fn(x, blocks[cfg.num_encoders - i - 1])
+            if i == 0:
+                x = DynamicUpsampleLayer(
+                    in_sizes[0] * (2 if cfg.skip_type == "concat" else 1),
+                    features, cfg.kernel_size,
+                    in_fuse_channels=1 + cfg.num_bins,
+                    name="decoders_0")(skip, ev_tensor, prev_recs)
+            else:
+                x = cfg.upsample_layer(
+                    features, kernel_size=cfg.kernel_size, norm=cfg.norm,
+                    name=f"decoders_{i}")(skip, train=train)
+        return x
+
+
+class HyperUNetRecurrent(nn.Module):
+    """UNetRecurrent with a dynamic first decoder
+    (hyper_model.py:138-196)."""
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, x: Array, states: List[Any], prev_recs: Array,
+                 train: bool = False) -> Tuple[Dict[str, Array], List[Any]]:
+        cfg = self.cfg
+        ev_tensor = x
+        x = ConvLayer(cfg.base_num_channels, cfg.kernel_size, 1,
+                      name="head")(x, train=train)
+        head = x
+        blocks, new_states = [], []
+        for i, features in enumerate(cfg.encoder_output_sizes):
+            x, s = RecurrentConvLayer(
+                features, cfg.kernel_size, 2, cfg.recurrent_block_type,
+                norm=cfg.norm, name=f"encoders_{i}")(x, states[i], train=train)
+            blocks.append(x)
+            new_states.append(s)
+        for i in range(cfg.num_residual_blocks):
+            x = ResidualBlock(cfg.max_num_channels, cfg.norm,
+                              name=f"resblocks_{i}")(x, train=train)
+
+        x = _HyperDecoders(cfg, name="decoders")(x, blocks, ev_tensor,
+                                                 prev_recs, train=train)
+        img = ConvLayer(cfg.num_output_channels, 1, activation=None,
+                        norm=cfg.norm, name="pred")(cfg.skip_fn(x, head),
+                                                    train=train)
+        from .submodules import activation_fn
+        act = activation_fn(cfg.final_activation)
+        if act is not None:
+            img = act(img)
+        return {"image": img}, new_states
+
+
+class HyperE2VID(nn.Module):
+    """Reference target `model.hyper_model.HyperE2VID`.
+
+    State = (encoder_states, prev_recs). The GT-mixing curriculum
+    (train: prev = prev*(1-beta) + gt*beta, hyper_model.py:231-234)
+    activates when `gt_image` and `beta` are passed."""
+    unet_kwargs: Dict[str, Any]
+
+    def setup(self):
+        cfg = UNetConfig.from_kwargs(dict(self.unet_kwargs))
+        if "num_output_channels" not in self.unet_kwargs:
+            cfg.num_output_channels = 1
+        self.cfg = cfg
+        self.unetrecurrent = HyperUNetRecurrent(cfg)
+
+    def __call__(self, x: Array, state: Tuple[List[Any], Array],
+                 train: bool = False, gt_image: Optional[Array] = None,
+                 beta: Optional[Array] = None):
+        enc_states, prev_recs = state
+        if gt_image is not None and beta is not None:
+            prev_recs = prev_recs * (1 - beta) + gt_image * beta
+        out, new_enc = self.unetrecurrent(x, enc_states, prev_recs,
+                                          train=train)
+        new_prev = jax.lax.stop_gradient(out["image"])
+        return out, (new_enc, new_prev)
+
+    @nn.nowrap
+    def init_state(self, batch: int, height: int, width: int,
+                   dtype=jnp.float32):
+        cfg = UNetConfig.from_kwargs(dict(self.unet_kwargs))
+        enc = _encoder_states(cfg, batch, height, width, dtype)
+        prev = jnp.zeros((batch, height, width, 1), dtype)
+        return (enc, prev)

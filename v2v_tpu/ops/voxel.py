@@ -212,6 +212,43 @@ def simulate_sequence(
 simulate_batch = jax.vmap(simulate_sequence, in_axes=(0, 0), out_axes=(0, 0))
 
 
+def esim_video_to_voxel_np(
+    video: np.ndarray, pos_thres: float, neg_thres: float,
+    base_noise_std: float = 0.0, hot_pixel_fraction: float = 0.0,
+    hot_pixel_std: float = 0.0, put_noise_external: bool = False,
+) -> np.ndarray:
+    """Host-side numpy emulator for the CPU-parity dataloader path.
+
+    Uses numpy's global RNG with the reference's draw order
+    (data/v2v_core_esim.py:26-69): potential init, hot mask, hot values,
+    then one base-noise field per frame. Returns (N-1, H, W) float64.
+    """
+    n, h, w = video.shape
+    potential = np.random.rand(h, w) * (pos_thres + neg_thres) - neg_thres
+    video = reverse_gamma_correction(video)
+    log_imgs = np.log(0.001 + video / 255.0)
+    hot_mask = np.random.rand(h, w) < hot_pixel_fraction
+    hot_noise = np.where(hot_mask, hot_pixel_std * np.random.randn(h, w), 0)
+
+    out = []
+    for i in range(n - 1):
+        potential += log_imgs[i + 1] - log_imgs[i]
+        base_noise = base_noise_std * np.random.randn(h, w)
+        if not put_noise_external:
+            potential += base_noise + hot_noise
+        pos_ev = np.where(potential >= pos_thres,
+                          np.floor_divide(potential, pos_thres), 0)
+        neg_ev = np.where(potential <= -neg_thres,
+                          np.floor_divide(-potential, neg_thres), 0)
+        potential -= pos_ev * pos_thres
+        potential += neg_ev * neg_thres
+        frame = pos_ev - neg_ev
+        if put_noise_external:
+            frame = frame + base_noise + hot_noise
+        out.append(frame)
+    return np.asarray(out)
+
+
 # ---------------------------------------------------------------------------
 # events -> voxel (the h5 test path)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,138 @@
+"""Flow task interface (reference model/train_flow_utils.py:200-467).
+
+Same skeleton as ModelInterface with:
+  * forward_type 'evflow' (per-step voxel -> flow) or 'eraft' (voxel
+    pairs (t, t+1) -> flow, model-internal padding + warm-start carry);
+  * flow L1 training loss;
+  * dense/sparse EPE/1PE/3PE test metrics with validity & event masks.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses import losses as L
+from ..ops.pad import crop_from_multiple, pad_to_multiple
+from .interface import ModelInterface
+
+Array = jax.Array
+
+
+class FlowModelInterface(ModelInterface):
+    def __init__(self, configs: Dict[str, Any]):
+        super().__init__(configs)
+        self.forward_type = configs.get("forward_type", "evflow")
+        assert self.forward_type in ("evflow", "eraft")
+
+    def forward_sequence(self, params, events: Array, state: Any,
+                         train: bool = False, **_) -> Tuple[Array, Any]:
+        if self.forward_type == "eraft":
+            return self._forward_eraft(params, events, state, train)
+        return self._forward_evflow(params, events, state, train)
+
+    def _forward_evflow(self, params, events, state, train):
+        events, hw = pad_to_multiple(events, 16)
+
+        def step(carry, voxel):
+            out, carry = self.model.apply(params, voxel, carry, train=train)
+            return carry, out["flow"]
+
+        final_state, flows = jax.lax.scan(
+            step, state, jnp.swapaxes(events, 0, 1))
+        flows = jnp.swapaxes(flows, 0, 1)
+        return crop_from_multiple(flows, hw), final_state
+
+    def _forward_eraft(self, params, events, state, train):
+        """ERAFT consumes voxel pairs: flow[t->t+1] from
+        (events[t], events[t+1]); T_out = T_in - 1. The warm-start flow
+        carry lives in `state` (reference model/eraft/eraft.py:141-146)."""
+        prev = jnp.swapaxes(events[:, :-1], 0, 1)
+        curr = jnp.swapaxes(events[:, 1:], 0, 1)
+
+        def step(carry, x):
+            v0, v1 = x
+            out, carry = self.model.apply(params, v0, v1, carry, train=train)
+            return carry, out["flow"]
+
+        final_state, flows = jax.lax.scan(step, state, (prev, curr))
+        return jnp.swapaxes(flows, 0, 1), final_state
+
+    def calc_loss(self, pred: Array, batch: Dict[str, Array],
+                  remove_flow_loss: bool = False):
+        """Flow L1 vs (pseudo-)GT (train_flow_utils.py:371-430)."""
+        cfg = self.loss_cfg
+        gt = batch["flow"]
+        b, t = pred.shape[:2]
+        terms: Dict[str, Array] = {}
+        if cfg.l1_weight:
+            flat_pred = pred.reshape((b * t,) + pred.shape[2:])
+            flat_gt = gt.reshape((b * t,) + gt.shape[2:])
+            per_bt = L.l1_loss(flat_pred, flat_gt, cfg.l1_weight,
+                               reduce_batch=False)
+            terms["l1_loss"] = per_bt.reshape(b, t).mean(axis=1)
+        total = sum(v.mean() for v in terms.values())
+        aux = dict(terms)
+        aux["pred_max_val"] = pred.max()
+        aux["pred_min_val"] = pred.min()
+        return total, aux
+
+
+def flow_metrics(pred_flow: np.ndarray, gt_flow: np.ndarray,
+                 events: np.ndarray, prefix: str) -> Dict[str, list]:
+    """Per-frame dense/sparse EPE, 1PE, 3PE
+    (train_flow_utils.py:229-294). All arrays (1,T,H,W,C)."""
+    t = pred_flow.shape[1]
+    out = defaultdict(list)
+    for ti in range(t):
+        pf = pred_flow[0, ti]                      # (H,W,2)
+        gf = gt_flow[0, ti]
+        valid = ~(np.isnan(gf[..., 0]) | np.isnan(gf[..., 1])
+                  | ((gf[..., 0] == 0) & (gf[..., 1] == 0)))
+        ev_mask = np.abs(events[0, ti]).sum(axis=-1) > 0
+        sparse = valid & ev_mask
+        ee = np.sqrt(((pf - np.nan_to_num(gf)) ** 2).sum(axis=-1))
+
+        def stats(mask):
+            cnt = mask.sum()
+            if cnt == 0:
+                return 0.0, 0.0, 0.0
+            mee = np.where(mask, ee, 0.0)
+            return (float(mee.sum() / cnt),
+                    float((mee > 1).sum() / cnt),
+                    float((mee > 3).sum() / cnt))
+
+        d_epe, d_1pe, d_3pe = stats(valid)
+        s_epe, s_1pe, s_3pe = stats(sparse)
+        for name, val in zip(
+                ["dense_EPE", "dense_1PE", "dense_3PE",
+                 "sparse_EPE", "sparse_1PE", "sparse_3PE"],
+                [d_epe, d_1pe, d_3pe, s_epe, s_1pe, s_3pe]):
+            out[f"{prefix}/{name}"].append(val)
+    return out
+
+
+def flow2rgb_np(disp_x: np.ndarray, disp_y: np.ndarray,
+                max_magnitude: Optional[float] = None) -> np.ndarray:
+    """HSV flow visualization, hue = direction, value = magnitude
+    (train_flow_utils.py:22-106). Returns (H,W,3) uint8 RGB."""
+    magnitude = np.sqrt(disp_x ** 2 + disp_y ** 2)
+    angle = np.arctan2(disp_y, disp_x)
+    h = (angle + np.pi) / (2 * np.pi)
+    if max_magnitude is None:
+        v = magnitude / max(float(magnitude.max()), 1e-5)
+    else:
+        v = np.clip(magnitude / max_magnitude, 0, 1)
+    hp = h * 6.0
+    i = np.floor(hp).astype(int) % 6
+    f = hp - np.floor(hp)
+    p = np.zeros_like(v)
+    q = v * (1.0 - f)
+    t = v * f
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return (np.stack([r, g, b], axis=-1) * 255.0).astype(np.uint8)

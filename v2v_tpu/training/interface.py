@@ -87,6 +87,10 @@ class ModelInterface:
     # -- params/state ---------------------------------------------------
     def init(self, key: jax.Array, batch_size: int, height: int, width: int,
              num_bins: int = 5):
+        # probe at the padded resolution the forward pass actually uses
+        # (conv params are resolution-independent)
+        height = -(-height // 16) * 16
+        width = -(-width // 16) * 16
         state = self.model.init_state(batch_size, height, width)
         x = jnp.zeros((batch_size, height, width, num_bins))
         params = self.model.init(key, x, state)

@@ -1,0 +1,263 @@
+"""Experiment orchestration: the stage loop, resume, checkpointing,
+validation, and TensorBoard logging.
+
+Functional rebuild of the reference train driver (train.py:71-252) on the
+TPU design: one jitted fused train step (simulation + forward/backward +
+update) fed by a host loader; data parallelism via a device mesh instead
+of DDP; the ckpt_paths resume protocol kept verbatim.
+"""
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import resolve_target
+from ..data.interface import DataLoader, make_concat_multi_dataset
+from ..ops.voxel import SimConfig
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .checkpoint import (append_ckpt_path, last_ckpt_path, load_checkpoint,
+                         save_checkpoint)
+from .interface import ModelInterface, aggregate_per_source
+from .steps import make_eval_step, make_train_step
+
+
+def sim_config_from_dataset(cfg: Dict[str, Any]) -> SimConfig:
+    """Build the device simulator config from the WebVid dataset config
+    block (the reference passes these into imgs_to_voxels,
+    data/v2v_datasets.py:54-60)."""
+    return SimConfig(
+        threshold_range=tuple(cfg.get("threshold_range", [0.05, 2])),
+        max_thres_pos_neg_gap=cfg.get("max_thres_pos_neg_gap", 1.5),
+        base_noise_std_range=tuple(cfg.get("base_noise_std_range", [0, 0.2])),
+        hot_pixel_fraction_range=tuple(
+            cfg.get("hot_pixel_fraction_range", [0, 0.001])),
+        hot_pixel_std_range=tuple(cfg.get("hot_pixel_std_range", [0, 0.2])),
+        put_noise_external=cfg.get("put_noise_external", False),
+        scale_noise_strength=cfg.get("scale_noise_strength", False),
+    )
+
+
+def make_optimizer(cfg: Dict[str, Any]):
+    cls = resolve_target(cfg["target"])
+    return cls(**cfg.get("params", {}))
+
+
+def make_scheduler(cfg: Dict[str, Any]):
+    cls = resolve_target(cfg["target"])
+    return cls(**cfg.get("params", {}))
+
+
+class _Writer:
+    """TensorBoard writer (tensorboardX), no-op if unavailable."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        try:
+            from tensorboardX import SummaryWriter
+            self.w = SummaryWriter(log_dir)
+        except Exception:
+            self.w = None
+
+    def add_scalar(self, tag, value, step):
+        if self.w is not None:
+            self.w.add_scalar(tag, value, step)
+
+    def add_video_grid(self, tag, frames_uint8, step):
+        if self.w is not None:
+            try:
+                self.w.add_video(tag, frames_uint8, step, fps=8)
+            except Exception:
+                pass
+
+
+def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
+         root: str = ".") -> Dict[str, Any]:
+    """Run all training stages. Returns final state (for tests).
+
+    `max_batches_per_epoch` caps work per epoch (smoke tests / CI).
+    """
+    experiment_name = configs["experiment_name"]
+    task = configs.get("task", "e2vid")
+    assert task in ("e2vid", "flow")
+    if task == "flow":
+        from .flow_interface import FlowModelInterface
+        iface: ModelInterface = FlowModelInterface(configs["module"])
+    else:
+        iface = ModelInterface(configs["module"])
+
+    # mesh size = largest divisor of the global batch that fits the
+    # available devices (replaces torchrun's fixed world size)
+    first_bs = configs["train_stages"][0]["dataset"]["train_batch_size"]
+    n_avail = len(jax.devices())
+    n_dev = max(d for d in range(1, n_avail + 1) if first_bs % d == 0)
+    mesh = make_mesh(n_dev)
+    process_index = jax.process_index()
+    process_count = jax.process_count()
+
+    checkpoint_path = last_ckpt_path(experiment_name, root)
+
+    log_dir = os.path.join(root, "tensorboard_logs", experiment_name)
+    writer = _Writer(log_dir)
+    val_loss_txt = os.path.join(log_dir, "val_loss.txt")
+    ckpt_dir = os.path.join(root, "checkpoints", experiment_name)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    epochs_of_stages = [s["max_epochs"] for s in configs["train_stages"]]
+
+    # ---- build params lazily from the first stage's data shape --------
+    params = None
+    opt_state = None
+    cur_epoch = 0
+    just_resumed = False
+    key = jax.random.PRNGKey(configs.get("seed", 0))
+
+    # decide start stage from cumulative epochs (train.py:216-222)
+    def stage_of_epoch(epoch):
+        total = 0
+        for i, e in enumerate(epochs_of_stages):
+            if epoch < total + e:
+                return i
+            total += e
+        return len(epochs_of_stages) - 1
+
+    for stage_idx, stage_cfg in enumerate(configs["train_stages"]):
+        ds_cfg = stage_cfg["dataset"]
+        train_cfgs = ds_cfg["train"]
+        train_ds = make_concat_multi_dataset(train_cfgs)
+        val_ds = make_concat_multi_dataset(ds_cfg.get("val", []))
+        batch_size = ds_cfg["train_batch_size"]
+        # round the global batch down to a multiple of the mesh size
+        if batch_size % n_dev:
+            batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
+        train_loader = DataLoader(
+            train_ds, batch_size, shuffle=True, drop_last=True,
+            num_workers=ds_cfg.get("num_workers", 4),
+            process_index=process_index, process_count=process_count)
+        val_loader = DataLoader(
+            val_ds, ds_cfg.get("val_batch_size", 1), shuffle=False,
+            drop_last=False, num_workers=2) if len(val_ds) else None
+
+        # simulator config if the train data is raw video
+        first_item_cfg = train_cfgs[0]
+        video_mode = first_item_cfg.get(
+            "class_name", "").endswith("WebvidDatasetV2") and \
+            first_item_cfg.get("output", "video") == "video"
+        sim_cfg = sim_config_from_dataset(first_item_cfg) if video_mode else None
+        num_bins = first_item_cfg.get("num_bins", 5)
+        frames_per_bin = first_item_cfg.get("frames_per_bin", 1)
+
+        # ---- init params on first stage -------------------------------
+        if params is None:
+            probe = train_ds[0]
+            if "video" in probe:
+                h, w = probe["video"].shape[1:3]
+            else:
+                h, w = probe["events"].shape[1:3]
+            params, _ = iface.init(key, batch_size, h, w, num_bins)
+
+        optimizer_spec = make_optimizer(stage_cfg["optimizer"])
+        optimizer = optimizer_spec.make()
+        scheduler = make_scheduler(stage_cfg["lr_scheduler"]) \
+            if "lr_scheduler" in stage_cfg else None
+        opt_state = optimizer.init(params)
+
+        if checkpoint_path is not None and not just_resumed:
+            params, opt_state, meta = load_checkpoint(
+                checkpoint_path, params, opt_state)
+            cur_epoch = meta["epoch"] + 1
+            just_resumed = True
+            print(f"Resumed from {checkpoint_path} at epoch {cur_epoch}")
+
+        if stage_of_epoch(cur_epoch) > stage_idx:
+            continue    # this stage already finished before resume
+
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        train_step = make_train_step(iface, optimizer, sim_cfg,
+                                     num_bins, frames_per_bin)
+        eval_step = make_eval_step(iface)
+
+        epochs_before = sum(epochs_of_stages[:stage_idx])
+        rel_epoch = cur_epoch - epochs_before
+        for epoch in range(rel_epoch, stage_cfg["max_epochs"]):
+            global_epoch = epochs_before + epoch
+            train_loader.set_epoch(global_epoch)
+            lr_scale = scheduler(epoch) if scheduler else 1.0
+            base_lr = optimizer_spec.base_lr
+
+            t0 = time.time()
+            n_batches = 0
+            for batch_idx, batch in enumerate(train_loader):
+                if (max_batches_per_epoch is not None
+                        and batch_idx >= max_batches_per_epoch):
+                    break
+                host_meta = {k: batch.pop(k) for k in list(batch)
+                             if not isinstance(batch[k], np.ndarray)}
+                src_idx = batch.get("data_source_idx")
+                batch = shard_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+                opt_state.hyperparams["learning_rate"] = base_lr * lr_scale
+                step_key = jax.random.fold_in(key, global_epoch * 100003
+                                              + batch_idx)
+                params, opt_state, loss, aux = train_step(
+                    params, opt_state, batch, step_key)
+                n_batches += 1
+                if batch_idx % 50 == 0:
+                    logs = aggregate_per_source(
+                        {k: np.asarray(v) for k, v in aux.items()},
+                        np.asarray(src_idx))
+                    step = global_epoch * max(len(train_loader), 1) + batch_idx
+                    for k, v in logs.items():
+                        writer.add_scalar(f"train/{k}", v, step)
+            dt = time.time() - t0
+            print(f"Stage {stage_idx}, epoch {global_epoch}: "
+                  f"{n_batches} steps in {dt:.1f}s, loss={float(loss):.4f}")
+
+            is_val_epoch = (global_epoch % configs.get(
+                "check_val_every_n_epoch", 1) == 0
+                or epoch == stage_cfg["max_epochs"] - 1)
+            if is_val_epoch:
+                val_losses = []
+                if val_loader is not None:
+                    for vidx, vbatch in enumerate(val_loader):
+                        if (max_batches_per_epoch is not None
+                                and vidx >= max_batches_per_epoch):
+                            break
+                        events = jnp.asarray(vbatch["events"])
+                        b, _, h, w, _ = events.shape
+                        state = iface.init_state(b, h, w)
+                        pred, _ = eval_step(params, events, state)
+                        vloss, vaux = iface.calc_loss(
+                            pred, {k: jnp.asarray(v) for k, v in
+                                   vbatch.items()
+                                   if isinstance(v, np.ndarray)},
+                            remove_flow_loss=True)
+                        val_losses.append(float(vloss))
+                total_val = float(np.mean(val_losses)) if val_losses else 0.0
+                writer.add_scalar("val/loss", total_val, global_epoch)
+                if scheduler is not None:
+                    scheduler.observe(total_val)
+
+                if process_index == 0:
+                    ckpt_path = os.path.join(
+                        ckpt_dir, f"epoch_{global_epoch:04d}.msgpack")
+                    save_checkpoint(ckpt_path,
+                                    jax.tree.map(np.asarray, params),
+                                    jax.tree.map(np.asarray, opt_state),
+                                    global_epoch)
+                    append_ckpt_path(experiment_name, ckpt_path, root)
+                    stamp = datetime.datetime.now().strftime(
+                        "%Y-%m-%d %H:%M:%S")
+                    with open(val_loss_txt, "a") as f:
+                        f.write(f"{stamp} Epoch {global_epoch}: {total_val}\n")
+        cur_epoch = sum(epochs_of_stages[:stage_idx + 1])
+        just_resumed = False
+        checkpoint_path = None
+
+    return {"params": params, "opt_state": opt_state, "epoch": cur_epoch}

@@ -1,0 +1,212 @@
+"""Tests for the v2e emulator, event kernels, ESIM dataset, augmentation
+library, preview, timers, and the NerNet test-harness path."""
+import os
+
+import h5py
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from test_data import make_hqf_h5
+
+
+def test_v2e_emulator_models():
+    from v2v_tpu.ops.voxel_v2e import V2EConfig, v2e_video_to_voxel
+    rng = np.random.RandomState(0)
+    video = np.clip(np.cumsum(rng.randn(11, 16, 16) * 8, axis=0) + 128,
+                    0, 255).astype(np.float32)
+    for model in ("pn_related", "spatial_temporal_independent",
+                  "spatial_independent",
+                  "spatial_independent_temporal_changing"):
+        cfg = V2EConfig(threshold_model=model, cutoff_hz=30,
+                        leak_rate_hz=0.1, shot_noise_rate_hz=5.0,
+                        refractory_period_s=0.001)
+        out = v2e_video_to_voxel(jnp.asarray(video), cfg,
+                                 jax.random.PRNGKey(0))
+        v = np.asarray(out)
+        assert v.shape == (10, 16, 16)
+        assert np.isfinite(v).all(), model
+        assert np.all(v == np.round(v)), model   # integer counts
+    # clean config: deterministic event generation from intensity change
+    clean = V2EConfig(threshold_model="pn_related", thres_mean_std=0.0,
+                      thres_diff_std=0.0, cutoff_hz=0, leak_rate_hz=0,
+                      shot_noise_rate_hz=0)
+    v = np.asarray(v2e_video_to_voxel(jnp.asarray(video), clean,
+                                      jax.random.PRNGKey(1)))
+    assert np.abs(v).sum() > 0
+
+
+def test_events_to_image_and_voxel():
+    from v2v_tpu.ops.events import (events_to_image,
+                                    events_to_neg_pos_voxel,
+                                    events_to_timestamp_image,
+                                    events_to_voxel_bilinear)
+    rng = np.random.RandomState(0)
+    n, h, w = 400, 24, 32
+    xs = jnp.asarray(rng.randint(0, w, n).astype(np.float32))
+    ys = jnp.asarray(rng.randint(0, h, n).astype(np.float32))
+    ts = jnp.asarray(np.sort(rng.rand(n)).astype(np.float32))
+    ps = jnp.asarray(rng.choice([-1.0, 1.0], n).astype(np.float32))
+
+    img = events_to_image(xs, ys, ps, jnp.int32(n), sensor_size=(h, w))
+    assert img.shape == (h, w)
+    assert abs(float(img.sum()) - float(ps.sum())) < 1e-3
+
+    img_b = events_to_image(xs + 0.5, ys + 0.5, ps, jnp.int32(n),
+                            sensor_size=(h, w), interpolation="bilinear",
+                            padding=True)
+    assert img_b.shape == (h + 1, w + 1)
+    assert abs(float(img_b.sum()) - float(ps.sum())) < 1e-3
+
+    vox = events_to_voxel_bilinear(xs, ys, ts, ps, jnp.int32(n), num_bins=5,
+                                   sensor_size=(h, w))
+    assert vox.shape == (5, h, w)
+    # temporal bilinear conserves total polarity mass
+    assert abs(float(vox.sum()) - float(ps.sum())) < 1e-2
+
+    vp, vn = events_to_neg_pos_voxel(xs, ys, ts, ps, jnp.int32(n),
+                                     num_bins=5, sensor_size=(h, w))
+    assert float(vp.sum()) + float(vn.sum()) == pytest.approx(n, abs=0.1)
+
+    ip, ineg = events_to_timestamp_image(xs, ys, ts, ps, jnp.int32(n),
+                                         sensor_size=(h, w))
+    assert ip.shape == (h + 1, w + 1) and float(ip.max()) > 0
+
+
+def test_warp_events_by_flow():
+    from v2v_tpu.ops.events import warp_events_by_flow
+    flow = jnp.ones((8, 8, 2)) * jnp.asarray([2.0, -1.0])
+    xs = jnp.asarray([1.0, 2.0])
+    ys = jnp.asarray([1.0, 2.0])
+    ts = jnp.asarray([0.5, 1.0])
+    wx, wy = warp_events_by_flow(xs, ys, ts, flow, jnp.float32(0.0))
+    np.testing.assert_allclose(wx, [2.0, 4.0])
+    np.testing.assert_allclose(wy, [0.5, 1.0])
+
+
+def test_binary_search_h5(tmp_path):
+    from v2v_tpu.ops.events import binary_search_h5_dset
+    path = str(tmp_path / "bs.h5")
+    data = np.arange(0, 100, 2.0)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("ts", data=data)
+    with h5py.File(path, "r") as f:
+        assert binary_search_h5_dset(f["ts"], 10.0) == np.searchsorted(data, 10.0)
+        assert binary_search_h5_dset(f["ts"], 11.0) == np.searchsorted(data, 11.0)
+
+
+def make_esim_cache(path, n=20, h=40, w=48):
+    rng = np.random.RandomState(0)
+    with h5py.File(path, "w") as f:
+        f.attrs["sensor_resolution"] = (h, w)
+        f.create_dataset("frames", data=rng.rand(n, 1, h, w).astype(np.float32))
+        f.create_dataset("flow", data=rng.randn(n, 2, h, w).astype(np.float32))
+        f.create_dataset("events", data=rng.randn(n, 5, h, w).astype(np.float32))
+    return path
+
+
+def test_esim_dataset(tmp_path):
+    from v2v_tpu.data.esim import ESIMH5Dataset
+    path = make_esim_cache(str(tmp_path / "esim.h5"))
+    ds = ESIMH5Dataset(path, {"sequence_length": 8, "random_crop_size": 32,
+                              "noise_std": 0.1, "hot_pixel_std": 0.1})
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["frame"].shape == (8, 32, 32, 1)
+    assert item["events"].shape == (8, 32, 32, 5)
+    assert item["flow"].shape == (8, 32, 32, 2)
+    assert int(item["data_source_idx"]) == 0    # esim
+
+
+def test_esim_integer_noise_variance():
+    from v2v_tpu.data.esim import add_noise_to_voxel
+    np.random.seed(0)
+    v = np.zeros((100, 100))
+    noisy = add_noise_to_voxel(v, noise_std=2.0, noise_fraction=1.0,
+                               integer_noise=True)
+    assert np.all(noisy == np.round(noisy))
+    assert abs(noisy.var() - 4.0) < 0.5     # Var == std^2 by construction
+
+
+def test_augmentation_flow_aware():
+    import random
+    from v2v_tpu.data.augmentation import (CenterCrop, Compose, LegacyNorm,
+                                           RandomCrop, RandomFlip,
+                                           RandomRotationFlip, RobustNorm)
+    x = np.random.RandomState(0).rand(16, 20, 2).astype(np.float32)
+    random.seed(3)
+    flipped = RandomFlip(p_hflip=1.0, p_vflip=0.0)(x, is_flow=True)
+    np.testing.assert_allclose(flipped[..., 0], -x[:, ::-1, 0])
+    np.testing.assert_allclose(flipped[..., 1], x[:, ::-1, 1])
+
+    assert CenterCrop(8)(x).shape == (8, 8, 2)
+    random.seed(0)
+    assert RandomCrop((8, 10))(x).shape == (8, 10, 2)
+
+    # seed-synchronized: same seed -> same crop
+    rc = RandomCrop(8)
+    random.seed(5)
+    a = rc(x)
+    random.seed(5)
+    b = rc(x)
+    np.testing.assert_array_equal(a, b)
+
+    random.seed(1)
+    rot = RandomRotationFlip(degrees=15)(x[..., :1], is_flow=False)
+    assert rot.shape == (16, 20, 1)
+
+    rn = RobustNorm()(x)
+    assert rn.max() <= 1.0 and rn.min() >= 0.0
+    ln = LegacyNorm()(x)
+    assert np.isfinite(ln).all()
+
+
+def test_make_preview():
+    from v2v_tpu.training.preview import make_preview
+    b, t, h, w = 1, 3, 8, 8
+    batch = {"events": np.random.randn(b, t, h, w, 5),
+             "frame": np.random.rand(b, t, h, w, 1)}
+    pred = np.random.rand(b, t, h, w, 1)
+    vis = make_preview(batch, pred)
+    assert vis.shape == (b, t, 3, h, 3 * w)
+    assert vis.dtype == np.uint8
+
+
+def test_nernet_harness_end_to_end(tmp_path):
+    from v2v_tpu.eval.harness import run_single_test
+    h5 = make_hqf_h5(str(tmp_path / "seqn.h5"), n_frames=5, h=16, w=16)
+    (tmp_path / "ev_test.txt").write_text(h5 + "\n")
+    cfg = {
+        "experiment_name": "nernet_smoke",
+        "test_output_dir": None,
+        "module": {
+            "is_nernet": True,
+            "loss": {},
+            "model": {
+                "target": "model.nernet_model.RepresentationRecurrent",
+                "params": {"unet_kwargs": {
+                    "num_bins": 5, "num_encoders": 3,
+                    "base_num_channels": 4, "num_residual_blocks": 1,
+                    "crop_size": 112, "mlp_layers": [1, 30, 30, 1],
+                    "use_cnn_representation": False, "normalize": False,
+                    "combine_voxel": False,
+                    "recurrent_network": "NIAM_STcell_GCB"}}},
+        },
+        "test_stage": {"test_num_workers": 1, "test": [{
+            "data_file": str(tmp_path / "ev_test.txt"),
+            "class_name": "data.testh5.TestH5EventDataset",
+            "dataset_name": "hqf", "num_bins": 5, "sequence_length": 4}]},
+    }
+    result = run_single_test(None, cfg, root=str(tmp_path))
+    assert any(k.startswith("HQF/seqn") for k in result)
+
+
+def test_color_merge():
+    from v2v_tpu.utils.color import merge_channels_into_color_image
+    rng = np.random.RandomState(0)
+    channels = {k: rng.randint(0, 255, (8, 8), dtype=np.uint8)
+                for k in ("R", "G", "B", "W")}
+    channels["grayscale"] = rng.randint(0, 255, (16, 16), dtype=np.uint8)
+    img = merge_channels_into_color_image(channels)
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8

@@ -38,6 +38,8 @@ TARGET_ALIASES: Dict[str, str] = {
         "v2v_tpu.training.optim.ReduceLROnPlateau",
     "torch.optim.lr_scheduler.CosineAnnealingLR":
         "v2v_tpu.training.optim.CosineAnnealingLR",
+    "torch.optim.lr_scheduler.ExponentialLR":
+        "v2v_tpu.training.optim.ExponentialLR",
     # datasets (reference data/*.py class_name strings)
     "data.v2v_datasets.WebvidDatasetV2": "v2v_tpu.data.webvid.WebvidDataset",
     "data.testh5.TestH5Dataset": "v2v_tpu.data.h5.TestH5Dataset",

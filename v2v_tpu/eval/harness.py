@@ -86,16 +86,27 @@ def run_test(iface: ModelInterface, params, configs: Dict[str, Any],
         if max_batches is not None and batch_idx >= max_batches:
             break
         seq_name = batch["sequence_name"][0]
-        events = jnp.asarray(batch["events"])
-        b, t, h, w, _ = events.shape
+        if iface.is_nernet:
+            # raw (N,5) event streams, B=1 (data/testh5.py:305-380)
+            events_list = batch["events"][0]
+            h, w = batch["frame"].shape[2:4]
+            b = 1
+        else:
+            events = jnp.asarray(batch["events"])
+            b, t, h, w, _ = events.shape
         if prev_seq is None or prev_seq != seq_name:
-            state = iface.init_state(b, h, w)       # reset_states()
+            state = (iface.model.init_state(b, h, w) if iface.is_nernet
+                     else iface.init_state(b, h, w))   # reset_states()
             output_img_idx = 0
             if output_dir is not None:
                 src = DATA_SOURCES[int(batch["data_source_idx"][0])].upper()
                 seq_dir = os.path.join(root, output_dir, src, seq_name)
                 os.makedirs(seq_dir, exist_ok=True)
-        pred, state = eval_step(params, events, state)
+        if iface.is_nernet:
+            pred, state = iface.forward_sequence_nernet(params, events_list,
+                                                        state)
+        else:
+            pred, state = eval_step(params, events, state)
         pred = np.asarray(pred)
         if configs["test_stage"].get("need_multi_255", True):
             pred = pred * 255
@@ -141,9 +152,16 @@ def run_single_test(checkpoint_path: Optional[str], config: Dict[str, Any],
     # probe test data for shape
     dataset = make_concat_multi_dataset(config["test_stage"]["test"])
     probe = dataset[0]
-    h, w = probe["events"].shape[1:3]
-    num_bins = probe["events"].shape[-1]
-    params, _ = iface.init(jax.random.PRNGKey(0), 1, h, w, num_bins)
+    if iface.is_nernet:
+        h, w = probe["frame"].shape[1:3]
+        state = iface.model.init_state(1, h, w)
+        dummy = jnp.zeros((1024, 5), jnp.float32)
+        params = iface.model.init(jax.random.PRNGKey(0), dummy,
+                                  jnp.int32(0), state)
+    else:
+        h, w = probe["events"].shape[1:3]
+        num_bins = probe["events"].shape[-1]
+        params, _ = iface.init(jax.random.PRNGKey(0), 1, h, w, num_bins)
     if checkpoint_path is not None:
         params = load_params_only(checkpoint_path, params)
         print("Loaded checkpoint:", checkpoint_path)

@@ -138,6 +138,23 @@ class ModelInterface:
         imgs = crop_from_multiple(imgs, hw)
         return imgs, final_state
 
+    def forward_sequence_nernet(self, params, events_list, state):
+        """NerNet raw-event path (train_utils.py:350-378): B=1, a python
+        loop over T with per-step bucket-padded event streams (static
+        shapes per bucket; compile cache keyed by bucket size)."""
+        import numpy as np
+        preds = []
+        for evs in events_list:
+            evs = np.asarray(evs, np.float32)
+            n = evs.shape[0]
+            bucket = max(1024, 1 << (n - 1).bit_length())
+            padded = np.zeros((bucket, 5), np.float32)
+            padded[:n] = evs
+            out, state = self.model.apply(
+                params, jnp.asarray(padded), jnp.int32(n), state)
+            preds.append(out["image"])           # (1,H,W,1)
+        return jnp.stack(preds, axis=1), state
+
     # -- loss -----------------------------------------------------------
     def calc_loss(self, pred: Array, batch: Dict[str, Array],
                   remove_flow_loss: bool = False) -> Tuple[Array, Dict[str, Array]]:

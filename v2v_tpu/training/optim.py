@@ -116,6 +116,16 @@ class CosineAnnealingLR(Scheduler):
                 * 0.5 * (1 + math.cos(math.pi * min(epoch, self.t_max) / self.t_max)))
 
 
+class ExponentialLR(Scheduler):
+    """lr * gamma^epoch."""
+
+    def __init__(self, gamma: float, **_):
+        self.gamma = gamma
+
+    def __call__(self, epoch: int) -> float:
+        return self.gamma ** epoch
+
+
 class ReduceLROnPlateau(Scheduler):
     """Multiplies lr by `factor` after `patience` epochs without val-loss
     improvement (torch semantics, mode='min')."""

@@ -59,7 +59,10 @@ def make_train_step(interface: ModelInterface,
     """Build the jitted train step. If `sim_cfg` is given the step expects
     the raw-video batch contract and synthesizes voxels on device."""
 
-    def step(params, opt_state, batch: Dict[str, Array], key: Array):
+    use_hyper = interface.hyper_epochs > 0
+
+    def step(params, opt_state, batch: Dict[str, Array], key: Array,
+             hyper_beta: Array):
         if sim_cfg is not None:
             keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
                 jnp.arange(batch["video"].shape[0]))
@@ -71,8 +74,14 @@ def make_train_step(interface: ModelInterface,
         state0 = interface.init_state(b, h, w)
 
         def loss_fn(p):
-            pred, _ = interface.forward_sequence(
-                p, batch["events"], state0, train=True)
+            if use_hyper:
+                # GT-mixing curriculum (train_utils.py:307,328-342)
+                pred, _ = interface.forward_sequence(
+                    p, batch["events"], state0, train=True,
+                    gt_frames=batch["frame"], hyper_beta=hyper_beta)
+            else:
+                pred, _ = interface.forward_sequence(
+                    p, batch["events"], state0, train=True)
             return interface.calc_loss(pred, batch)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -81,7 +90,13 @@ def make_train_step(interface: ModelInterface,
         aux["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, loss, aux
 
-    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    jitted = jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+    def wrapped(params, opt_state, batch, key, hyper_beta=0.0):
+        return jitted(params, opt_state, batch, key,
+                      jnp.float32(hyper_beta))
+
+    return wrapped
 
 
 def make_eval_step(interface: ModelInterface):

@@ -205,8 +205,13 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                 opt_state.hyperparams["learning_rate"] = base_lr * lr_scale
                 step_key = jax.random.fold_in(key, global_epoch * 100003
                                               + batch_idx)
+                # HyperE2VID GT-mixing curriculum: beta decays over
+                # hyper_epochs (train_utils.py:307,329)
+                hyper_beta = 0.0
+                if iface.hyper_epochs > 0:
+                    hyper_beta = max(0.0, 1.0 - epoch / iface.hyper_epochs)
                 params, opt_state, loss, aux = train_step(
-                    params, opt_state, batch, step_key)
+                    params, opt_state, batch, step_key, hyper_beta)
                 n_batches += 1
                 if batch_idx % 50 == 0:
                     logs = aggregate_per_source(
@@ -239,6 +244,15 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                                    if isinstance(v, np.ndarray)},
                             remove_flow_loss=True)
                         val_losses.append(float(vloss))
+                        if vidx == 0:
+                            from .preview import make_preview
+                            try:
+                                writer.add_video_grid(
+                                    "val/preview",
+                                    make_preview(vbatch, np.asarray(pred)),
+                                    global_epoch)
+                            except Exception:
+                                pass
                 total_val = float(np.mean(val_losses)) if val_losses else 0.0
                 writer.add_scalar("val/loss", total_val, global_epoch)
                 if scheduler is not None:

@@ -26,46 +26,78 @@ def make_videos(b, n, h, w, seed=0):
 
 
 def numpy_baseline_clip_time(video):
-    """Reference-equivalent numpy simulator on one clip (golden model)."""
+    """Reference-equivalent numpy simulator on one clip (golden model);
+    median of 3 runs."""
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     from golden_esim import golden_video_to_voxel
     n, h, w = video.shape
     rng = np.random.RandomState(0)
     base_noise = rng.randn(n - 1, h, w).astype(np.float32) * 0.05
-    t0 = time.perf_counter()
-    golden_video_to_voxel(video.astype(np.float32), 0.4, 0.5,
-                          base_noise=base_noise)
-    return time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        golden_video_to_voxel(video.astype(np.float32), 0.4, 0.5,
+                              base_noise=base_noise)
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[1]
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    from v2v_tpu.ops.voxel import SimConfig
-    from v2v_tpu.training.steps import synthesize_batch
+    from v2v_tpu.ops.voxel import SimConfig, sample_sim_params
+    from v2v_tpu.training.steps import _pallas_ok
 
     B, L, BINS, H, W = 12, 40, 5, 128, 128
     N = L * BINS + 1
     videos = make_videos(B, N, H, W)
+    cfg = SimConfig()
 
-    sim = jax.jit(lambda v, k: synthesize_batch(v, k, SimConfig(), BINS, 1))
+    use_pallas = _pallas_ok(jnp.zeros((1, 1, H, W)), cfg)
 
-    key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, B)
-    v_dev = jnp.asarray(videos)
-    # warm up/compile
-    ev, gt = sim(v_dev, keys)
-    ev.block_until_ready()
+    def video_to_voxels(video, step):
+        """The video->voxel conversion proper: simulate + bin-sum, voxels
+        in native (B, L, bins, H, W) layout (the NHWC transpose fuses
+        into the consumer conv inside the real train step). Per-step key
+        derivation lives inside the jit — separate host dispatches cost
+        ~10ms each through the remote-execution relay."""
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(0), step), B)
+        params = jax.vmap(lambda k: sample_sim_params(k, cfg))(keys)
+        if use_pallas:
+            from v2v_tpu.ops.voxel_pallas import simulate_batch_pallas
+            seeds = jax.vmap(
+                lambda k: jax.random.randint(k, (), 0, 2 ** 31 - 1))(keys)
+            counts = simulate_batch_pallas(video, seeds, params)
+        else:
+            from v2v_tpu.ops.voxel import esim_video_to_voxel
+            counts = jax.vmap(
+                lambda v, k, p: esim_video_to_voxel(v, p, key=k))(
+                video, keys, params)
+        return counts.reshape(B, L, BINS, H, W)
 
-    # timed: vary keys each iter so no result caching can hide work
-    iters = 10
+    # Device-side chained loop: one dispatch, each iteration's input
+    # depends on the previous output so nothing can be deduped or
+    # pipelined away (host-side loops measure the execution relay's
+    # per-dispatch overhead, not the kernel).
+    iters = 50
+
+    @jax.jit
+    def chained(video):
+        def body(i, carry):
+            acc, vid = carry
+            voxels = video_to_voxels(vid, i)
+            dep = voxels[0, 0, 0, 0, 0] * 1e-12
+            return acc + voxels.sum(), vid + dep
+        acc, _ = jax.lax.fori_loop(0, iters, body,
+                                   (jnp.float32(0), video))
+        return acc
+
+    v_dev = jnp.asarray(videos, jnp.float32)
+    chained(v_dev).block_until_ready()          # compile
     t0 = time.perf_counter()
-    for i in range(iters):
-        keys = jax.random.split(jax.random.fold_in(key, i), B)
-        ev, gt = sim(v_dev, keys)
-    ev.block_until_ready()
-    gt.block_until_ready()
+    chained(v_dev + 1.0).block_until_ready()
     dt = time.perf_counter() - t0
     clips_per_sec = B * iters / dt
 

@@ -40,6 +40,7 @@ class TestH5Dataset:
         assert self.image_range in (255, 1)
         self.output_additional_frame = configs.get("output_additional_frame", False)
         self.output_additional_evs = configs.get("output_additional_evs", False)
+        self.use_native = configs.get("use_native_voxel_builder", True)
 
         with h5py.File(h5_path, "r") as f:
             self.img_keys = sorted(f["images"].keys())
@@ -62,6 +63,11 @@ class TestH5Dataset:
         return len(self.samples)
 
     def make_voxel(self, ts, xs, ys, ps) -> np.ndarray:
+        if self.use_native:
+            from .native import events_to_voxel_native
+            return events_to_voxel_native(
+                ts, xs, ys, ps, num_bins=self.num_bins, height=self.H,
+                width=self.W, interpolate_bins=self.interpolate_bins)
         return events_to_voxel_np(
             ts, xs, ys, ps, num_bins=self.num_bins, height=self.H,
             width=self.W, interpolate_bins=self.interpolate_bins)
@@ -127,6 +133,7 @@ class TestH5FlowDataset(TestH5Dataset):
         self.image_range = configs.get("image_range", 255)
         self.output_additional_frame = configs.get("output_additional_frame", False)
         self.output_additional_evs = configs.get("output_additional_evs", False)
+        self.use_native = configs.get("use_native_voxel_builder", True)
 
         with h5py.File(h5_path, "r") as f:
             self.img_keys = sorted(f["images"].keys())
@@ -285,6 +292,7 @@ class FPSH5Dataset(TestH5Dataset):
         self.FPS = configs.get("FPS", 100)
         self.H = configs.get("H", 260)
         self.W = configs.get("W", 346)
+        self.use_native = configs.get("use_native_voxel_builder", True)
         with h5py.File(h5_path, "r") as f:
             min_t, max_t = f["events/ts"][0], f["events/ts"][-1]
             self.total_frame_cnt = int((max_t - min_t) * self.FPS)

@@ -1,0 +1,157 @@
+"""Pallas TPU kernel for the fused video->voxel event simulator.
+
+The jnp scan version (ops/voxel.py) pays per-frame kernel dispatches and
+HBM round-trips for the carried membrane potential. This kernel keeps
+the per-pixel state (potential, previous log frame, hot-pixel noise) in
+VMEM scratch for an entire (batch, row-tile) block and loops over all N
+frames on-core:
+
+  grid: (B, H/TILE_H) — each program simulates TILE_H rows of one clip
+  in : video block (N, TILE_H, W) f32, streamed from HBM once
+  out: counts block (N-1, TILE_H, W) f32, written once
+  rng: on-core PRNG (pltpu.prng_random_bits) + Box-Muller for the
+       gaussian base/hot-pixel noise; per-(sample, tile) seeds
+
+HBM traffic is exactly read-video + write-counts — the bandwidth lower
+bound. Threshold/noise parameters are per-sample scalars in SMEM.
+
+Noise parity vs the numpy reference is statistical (different RNG); the
+zero-noise path is bit-compatible with esim_video_to_voxel (same
+float32 ops; golden tests in tests/test_voxel_pallas.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .voxel import SimParams
+
+Array = jax.Array
+
+_TWO_PI = 6.283185307179586
+
+
+def _uniform01(shape):
+    """random bits -> float32 uniform in (0, 1]. prng_random_bits yields
+    SIGNED int32 — bitcast before shifting or the arithmetic shift
+    biases the sample negative."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # logical shift leaves 24 bits; go back to int32 for the float cast
+    # (mosaic has no uint32->float32 lowering)
+    small = pltpu.bitcast(bits >> 8, jnp.int32)
+    return small.astype(jnp.float32) * (1.0 / (1 << 24)) + (
+        1.0 / (1 << 24))
+
+
+def _gaussian(shape):
+    """Box-Muller from two uniform draws."""
+    u1 = _uniform01(shape)
+    u2 = _uniform01(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
+def _sim_kernel(seed_ref, pos_ref, neg_ref, noise_ref, hotfrac_ref,
+                hotstd_ref, video_ref, out_ref, pot_ref, logprev_ref,
+                hot_ref, *, noise_free: bool):
+    b = pl.program_id(0)
+    tile = pl.program_id(1)
+    n = video_ref.shape[1]          # block is (1, N, TILE_H, W)
+
+    # scalar params arrive as whole (B,) SMEM arrays (rank-1 partial
+    # blocking is not supported by the TPU lowering)
+    pos_thres = pos_ref[b]
+    neg_thres = neg_ref[b]
+    base_std = noise_ref[b]
+    hot_frac = hotfrac_ref[b]
+    hot_std = hotstd_ref[b]
+
+    shape = pot_ref.shape                      # (TILE_H, W)
+
+    # initial state: potential ~ U(-neg, pos); persistent hot noise.
+    # (prng only touched when noise is on — the TPU prng primitives have
+    # no CPU-interpreter lowering, and the noise-free path must stay
+    # runnable there for the golden tests)
+    if noise_free:
+        pot_ref[:] = jnp.zeros(shape, jnp.float32)
+        hot_ref[:] = jnp.zeros(shape, jnp.float32)
+    else:
+        pltpu.prng_seed(seed_ref[b] + tile * 7919)
+        u = _uniform01(shape)
+        pot_ref[:] = u * (pos_thres + neg_thres) - neg_thres
+        hot_mask = _uniform01(shape) < hot_frac
+        hot_ref[:] = jnp.where(hot_mask, hot_std * _gaussian(shape), 0.0)
+
+    first = video_ref[0, 0]
+    logprev_ref[:] = jnp.log(0.001 + (first * (1.0 / 255.0)) ** 2.2)
+
+    def body(i, _):
+        frame = video_ref[0, i]
+        log_new = jnp.log(0.001 + (frame * (1.0 / 255.0)) ** 2.2)
+        pot = pot_ref[:] + (log_new - logprev_ref[:])
+        if not noise_free:
+            pot = pot + base_std * _gaussian(shape) + hot_ref[:]
+        pos_ev = jnp.where(pot >= pos_thres,
+                           jnp.floor(pot / pos_thres), 0.0)
+        neg_ev = jnp.where(pot <= -neg_thres,
+                           jnp.floor(-pot / neg_thres), 0.0)
+        pot_ref[:] = pot - pos_ev * pos_thres + neg_ev * neg_thres
+        logprev_ref[:] = log_new
+        out_ref[0, i - 1] = pos_ev - neg_ev
+        return 0
+
+    jax.lax.fori_loop(1, n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "noise_free",
+                                             "interpret"))
+def simulate_batch_pallas(
+    video: Array, seeds: Array, params: SimParams,
+    *, tile_h: int = 16, noise_free: bool = False,
+    interpret: bool = False,
+) -> Array:
+    """(B, N, H, W) video + (B,) int32 seeds + per-sample SimParams
+    (each field (B,)) -> (B, N-1, H, W) signed event-count frames.
+
+    The drop-in fast path for `synthesize_batch`; bin summation and GT
+    frame selection stay in XLA (cheap reshapes).
+    """
+    video = video.astype(jnp.float32)
+    b, n, h, w = video.shape
+    assert h % tile_h == 0, (h, tile_h)
+    grid = (b, h // tile_h)
+
+    def scalar_spec():
+        return pl.BlockSpec(memory_space=pltpu.SMEM)   # whole (B,) array
+
+    kernel = functools.partial(_sim_kernel, noise_free=noise_free)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[scalar_spec() for _ in range(6)]
+        + [pl.BlockSpec((1, n, tile_h, w),
+                        lambda bi, ti: (bi, 0, ti, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n - 1, tile_h, w),
+                               lambda bi, ti: (bi, 0, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n - 1, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h, w), jnp.float32),   # potential
+            pltpu.VMEM((tile_h, w), jnp.float32),   # prev log frame
+            pltpu.VMEM((tile_h, w), jnp.float32),   # hot noise
+        ],
+        interpret=interpret,
+    )(seeds.astype(jnp.int32),
+      params.pos_thres.astype(jnp.float32),
+      params.neg_thres.astype(jnp.float32),
+      params.base_noise_std.astype(jnp.float32),
+      params.hot_pixel_fraction.astype(jnp.float32),
+      params.hot_pixel_std.astype(jnp.float32),
+      video)

@@ -1,0 +1,298 @@
+"""RAFT teacher for pseudo ground-truth optical flow.
+
+The reference uses torchvision's pretrained raft_small / raft_large to
+supervise the temporal-consistency loss and flow training
+(model/train_utils.py:21-79, used at :285-301). This module is a Flax
+port of torchvision's RAFT with a state_dict converter; the pretrained
+checkpoints (FlyingChairs/Things) must be provided by the user
+(`$V2V_WEIGHTS_DIR/raft_{small,large}.pth`, saved via
+`torch.save(raft_large(pretrained=True).state_dict(), ...)` on a
+machine with network access).
+
+NOTE: the layer-name mapping follows torchvision 0.15+ module structure
+(feature_encoder.convnormrelu.0 etc.); numerical validation against
+torch requires the weights and is deferred to an environment that has
+them — scripts/validate_raft.py performs the check.
+
+The correlation/lookup/GRU machinery is shared with ERAFT
+(v2v_tpu/models/eraft.py) — RAFT on TPU is one einsum correlation
+volume plus scanned GRU refinements.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import warnings
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..models.eraft import (FrozenBatchNorm, _bilinear_gather,
+                            convex_upsample, correlation_pyramid,
+                            instance_norm, lookup_pyramid)
+
+Array = jax.Array
+
+
+def _norm(kind: Optional[str], features: int, name: str):
+    if kind == "batch":
+        return FrozenBatchNorm(features, name=name)
+    if kind == "instance":
+        return lambda x: instance_norm(x)
+    return lambda x: x
+
+
+class ConvNormAct(nn.Module):
+    """torchvision Conv2dNormActivation: children '0' conv, '1' norm."""
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    stride: int = 1
+    norm: Optional[str] = "instance"
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kh, kw = self.kernel
+        x = nn.Conv(self.features, self.kernel,
+                    strides=(self.stride, self.stride),
+                    padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+                    name="0")(x)
+        n = _norm(self.norm, self.features, "1")
+        x = n(x)
+        return nn.relu(x) if self.act else x
+
+
+class TVResidualBlock(nn.Module):
+    """torchvision raft ResidualBlock."""
+    features: int
+    norm: str = "instance"
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = ConvNormAct(self.features, (3, 3), self.stride, self.norm,
+                        name="convnormrelu1")(x)
+        y = ConvNormAct(self.features, (3, 3), 1, self.norm,
+                        name="convnormrelu2")(y)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = ConvNormAct(self.features, (1, 1), self.stride, self.norm,
+                            act=False, name="downsample")(x)
+        return nn.relu(x + y)
+
+
+class TVBottleneckBlock(nn.Module):
+    """torchvision raft BottleneckBlock (raft_small)."""
+    features: int
+    norm: str = "instance"
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        q = self.features // 4
+        y = ConvNormAct(q, (1, 1), 1, self.norm, name="convnormrelu1")(x)
+        y = ConvNormAct(q, (3, 3), self.stride, self.norm,
+                        name="convnormrelu2")(y)
+        y = ConvNormAct(self.features, (1, 1), 1, self.norm,
+                        name="convnormrelu3")(y)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = ConvNormAct(self.features, (1, 1), self.stride, self.norm,
+                            act=False, name="downsample")(x)
+        return nn.relu(x + y)
+
+
+class TVFeatureEncoder(nn.Module):
+    layers: Tuple[int, ...] = (64, 64, 96, 128, 256)
+    norm: str = "instance"
+    bottleneck: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        block = TVBottleneckBlock if self.bottleneck else TVResidualBlock
+        x = ConvNormAct(self.layers[0], (7, 7), 2, self.norm,
+                        name="convnormrelu")(x)
+        for li, feat in enumerate(self.layers[1:4], start=1):
+            stride = 1 if li == 1 else 2
+            x = block(feat, self.norm, stride, name=f"layer{li}_0")(x)
+            x = block(feat, self.norm, 1, name=f"layer{li}_1")(x)
+        return nn.Conv(self.layers[4], (1, 1), name="conv")(x)
+
+
+class TVMotionEncoder(nn.Module):
+    corr_layers: Tuple[int, ...] = (256, 192)
+    flow_layers: Tuple[int, int] = (128, 64)
+    out_channels: int = 128
+
+    @nn.compact
+    def __call__(self, flow: Array, corr: Array) -> Array:
+        c = ConvNormAct(self.corr_layers[0], (1, 1), norm=None,
+                        name="convcorr1")(corr)
+        if len(self.corr_layers) > 1:
+            c = ConvNormAct(self.corr_layers[1], (3, 3), norm=None,
+                            name="convcorr2")(c)
+        f = ConvNormAct(self.flow_layers[0], (7, 7), norm=None,
+                        name="convflow1")(flow)
+        f = ConvNormAct(self.flow_layers[1], (3, 3), norm=None,
+                        name="convflow2")(f)
+        x = ConvNormAct(self.out_channels - 2, (3, 3), norm=None,
+                        name="conv")(jnp.concatenate([c, f], axis=-1))
+        return jnp.concatenate([x, flow], axis=-1)
+
+
+class TVRecurrentBlock(nn.Module):
+    hidden: int = 128
+    kernels: Tuple[Tuple[int, int], ...] = ((1, 5), (5, 1))
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array) -> Array:
+        for gi, k in enumerate(self.kernels, start=1):
+            name = f"convgru{gi}"
+            kh, kw = k
+            pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(nn.Conv(self.hidden, k, padding=pad,
+                                   name=f"{name}.convz")(hx))
+            r = nn.sigmoid(nn.Conv(self.hidden, k, padding=pad,
+                                   name=f"{name}.convr")(hx))
+            q = jnp.tanh(nn.Conv(self.hidden, k, padding=pad,
+                                 name=f"{name}.convq")(
+                jnp.concatenate([r * h, x], axis=-1)))
+            h = (1 - z) * h + z * q
+        return h
+
+
+class TVFlowHead(nn.Module):
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        y = nn.relu(nn.Conv(self.hidden, (3, 3), padding=((1, 1), (1, 1)),
+                            name="conv1")(x))
+        return nn.Conv(2, (3, 3), padding=((1, 1), (1, 1)),
+                       name="conv2")(y)
+
+
+class RAFT(nn.Module):
+    """torchvision-compatible RAFT. 3-channel images in [-1, 1]."""
+    small: bool = False
+    iters: int = 12
+
+    @nn.compact
+    def __call__(self, image1: Array, image2: Array) -> Array:
+        if self.small:
+            feat_layers = (32, 32, 64, 96, 128)
+            ctx_layers = (32, 32, 64, 96, 160)
+            hdim, cdim = 96, 64
+            radius, bottleneck = 3, True
+            corr_ch = 4 * (2 * radius + 1) ** 2
+            motion = TVMotionEncoder((96, 64), (64, 32), 82,
+                                     name="update_block.motion_encoder")
+            recurrent = TVRecurrentBlock(hdim, ((3, 3),),
+                                         name="update_block.recurrent_block")
+            flow_head = TVFlowHead(128, name="update_block.flow_head")
+        else:
+            feat_layers = (64, 64, 96, 128, 256)
+            ctx_layers = (64, 64, 96, 128, 256)
+            hdim, cdim = 128, 128
+            radius, bottleneck = 4, False
+            corr_ch = 4 * (2 * radius + 1) ** 2
+            motion = TVMotionEncoder((256, 192), (128, 64), 128,
+                                     name="update_block.motion_encoder")
+            recurrent = TVRecurrentBlock(hdim,
+                                         name="update_block.recurrent_block")
+            flow_head = TVFlowHead(256, name="update_block.flow_head")
+
+        b, h, w, _ = image1.shape
+        ph = (8 - h % 8) % 8
+        pw = (8 - w % 8) % 8
+        image1 = jnp.pad(image1, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        image2 = jnp.pad(image2, ((0, 0), (0, ph), (0, pw), (0, 0)))
+
+        fnet = TVFeatureEncoder(feat_layers, "instance", bottleneck,
+                                name="feature_encoder")
+        fmaps = fnet(jnp.concatenate([image1, image2], axis=0))
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        pyramid = correlation_pyramid(fmap1, fmap2)
+
+        cnet = TVFeatureEncoder(ctx_layers, "batch", bottleneck,
+                                name="context_encoder")(image1)
+        net, inp = jnp.split(cnet, [hdim], axis=-1)
+        net = jnp.tanh(net)
+        inp = nn.relu(inp)
+
+        hb, h8, w8, _ = fmap1.shape
+        xs = jnp.arange(w8, dtype=jnp.float32)[None, None, :]
+        ys = jnp.arange(h8, dtype=jnp.float32)[None, :, None]
+        coords0 = jnp.stack([jnp.broadcast_to(xs, (hb, h8, w8)),
+                             jnp.broadcast_to(ys, (hb, h8, w8))], axis=-1)
+        coords1 = coords0
+
+        if not self.small:
+            mask_c1 = ConvNormAct(256, (3, 3), norm=None,
+                                  name="mask_predictor.convrelu")
+            mask_c2 = nn.Conv(64 * 9, (1, 1), name="mask_predictor.conv")
+
+        up_mask = None
+        for _ in range(self.iters):
+            coords1 = jax.lax.stop_gradient(coords1)
+            corr = lookup_pyramid(pyramid, coords1, radius=radius)
+            flow = coords1 - coords0
+            m = motion(flow, corr)
+            net = recurrent(net, jnp.concatenate([inp, m], axis=-1))
+            delta = flow_head(net)
+            coords1 = coords1 + delta
+            if not self.small:
+                up_mask = 0.25 * mask_c2(mask_c1(net))
+
+        flow_low = coords1 - coords0
+        if self.small:
+            flow_up = 8.0 * jax.image.resize(
+                flow_low, (hb, 8 * h8, 8 * w8, 2), "bilinear")
+        else:
+            flow_up = convex_upsample(flow_low, up_mask)
+        return flow_up[:, :h, :w, :]
+
+
+_BACKBONES = {"raft_small": "raft_small.pth", "raft_large": "raft_large.pth"}
+_cache: Dict[str, Tuple[RAFT, Any]] = {}
+
+
+def _load_params(name: str, model: RAFT):
+    import jax
+    wdir = os.environ.get("V2V_WEIGHTS_DIR", "pretrained")
+    path = os.path.join(wdir, _BACKBONES[name])
+    dummy = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), dummy, dummy)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"RAFT teacher weights not found at {path}; save torchvision's "
+            f"{name}(pretrained=True).state_dict() there, or use "
+            f"optical_flow_source: zeros|gt")
+    from ..models.convert import torch_state_dict_to_flax, validate_against
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    converted = torch_state_dict_to_flax(sd)
+    return validate_against(params, converted, strict=False)
+
+
+def raft_flow(source: str, frames: Array, l0: int = 1,
+              num_flow_updates: int = 12) -> Array:
+    """Pseudo-GT flow for a frame sequence (inference_raft,
+    model/train_utils.py:55-79): frames (B,T,H,W,C) in [0,1] ->
+    flow (B,T,H,W,2) with zeros for t < l0."""
+    if source not in _cache:
+        model = RAFT(small=source == "raft_small", iters=num_flow_updates)
+        _cache[source] = (model, _load_params(source, model))
+    model, params = _cache[source]
+    b, t, h, w, c = frames.shape
+    img1 = frames[:, l0 - 1:-1].reshape((-1, h, w, c)) * 2 - 1
+    img2 = frames[:, l0:].reshape((-1, h, w, c)) * 2 - 1
+    if c == 1:
+        img1 = jnp.repeat(img1, 3, axis=-1)
+        img2 = jnp.repeat(img2, 3, axis=-1)
+    flow = model.apply(params, img1, img2)
+    flow = flow.reshape(b, t - l0, h, w, 2)
+    zeros = jnp.zeros((b, l0, h, w, 2), flow.dtype)
+    return jnp.concatenate([zeros, flow], axis=1)

@@ -1,0 +1,29 @@
+"""RAFT teacher: structure/shape tests (numerical parity vs torchvision
+requires the pretrained weights, absent in this environment — see
+CLAUDE.md known gaps)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.mark.parametrize("small", [True, False])
+def test_raft_forward_shapes(small):
+    from v2v_tpu.training.raft import RAFT
+    model = RAFT(small=small, iters=2)
+    b, h, w = 1, 64, 64
+    img1 = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, 3)) * 0.3
+    img2 = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, 3)) * 0.3
+    params = model.init(jax.random.PRNGKey(2), img1, img2)
+    flow = model.apply(params, img1, img2)
+    assert flow.shape == (b, h, w, 2)
+    assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_raft_flow_requires_weights(tmp_path, monkeypatch):
+    from v2v_tpu.training import raft
+    monkeypatch.setenv("V2V_WEIGHTS_DIR", str(tmp_path))
+    raft._cache.clear()
+    frames = jnp.zeros((1, 3, 32, 32, 1))
+    with pytest.raises(FileNotFoundError):
+        raft.raft_flow("raft_small", frames)

@@ -69,6 +69,10 @@ class ModelInterface:
         self.is_nernet = configs.get("is_nernet", False)
         self._lpips_train: Optional[LPIPS] = None
         self._lpips_test: Optional[LPIPS] = None
+        if self.loss_cfg.lpips_weight:
+            # build eagerly — constructing LPIPS lazily inside a jitted
+            # loss would trace its parameter initialization
+            _ = self.lpips_train
 
     # -- lazily built LPIPS instances (heavy) ---------------------------
     @property
@@ -133,6 +137,12 @@ class ModelInterface:
                     params, voxel, carry, train=train)
             return new_state, out["image"]
 
+        if train:
+            # BPTT through T=40 recurrent UNet steps stores every
+            # activation (~39 GB at the reference training shape, vs
+            # 16 GB HBM). Rematerialize: keep only the carried states
+            # per step, recompute activations in the backward pass.
+            step = jax.checkpoint(step)
         final_state, imgs = jax.lax.scan(step, state, xs)
         imgs = jnp.swapaxes(imgs, 0, 1)              # (B,T,ph,pw,C)
         imgs = crop_from_multiple(imgs, hw)
@@ -180,9 +190,15 @@ class ModelInterface:
                                reduce_batch=False)
             terms["l2_loss"] = per_bt.reshape(b, t).mean(axis=1)
         if cfg.lpips_weight:
-            d = self.lpips_train._dist(flat_pred, flat_gt, True)
-            terms["perceptual_loss"] = (cfg.lpips_weight
-                                        * d.reshape(b, t).mean(axis=1))
+            # chunk over T (sequential map) and rematerialize each
+            # chunk's VGG activations — one flat (B*T) pass keeps the
+            # whole trunk's activations live for backward (~GBs)
+            lpips_step = jax.checkpoint(
+                lambda p, g: self.lpips_train._dist(p, g, True))
+            d = jax.lax.map(lambda pg: lpips_step(*pg),
+                            (jnp.swapaxes(pred, 0, 1),
+                             jnp.swapaxes(frames, 0, 1)))   # (T,B)
+            terms["perceptual_loss"] = (cfg.lpips_weight * d.T.mean(axis=1))
         if cfg.temporal_consistency_weight and not remove_flow_loss:
             l0 = cfg.temporal_consistency_L0
             if t > l0:

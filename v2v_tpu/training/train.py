@@ -214,6 +214,19 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                     params, opt_state, batch, step_key, hyper_beta)
                 n_batches += 1
                 if batch_idx % 50 == 0:
+                    # finite guard — the functional analog of the
+                    # reference's per-module NaN forward hooks
+                    # (model/train_utils.py:90-113,178-179); for
+                    # per-op localization run with JAX_DEBUG_NANS=1
+                    if configs.get("check_finite", True) and \
+                            not np.isfinite(float(loss)):
+                        raise FloatingPointError(
+                            f"non-finite loss at epoch {global_epoch} "
+                            f"batch {batch_idx}: {float(loss)} "
+                            f"(pred range [{float(aux['pred_min_val'])}, "
+                            f"{float(aux['pred_max_val'])}], grad norm "
+                            f"{float(aux['grad_norm'])}); rerun with "
+                            f"JAX_DEBUG_NANS=1 to localize")
                     logs = aggregate_per_source(
                         {k: np.asarray(v) for k, v in aux.items()},
                         np.asarray(src_idx))

@@ -210,3 +210,78 @@ def test_color_merge():
     channels["grayscale"] = rng.randint(0, 255, (16, 16), dtype=np.uint8)
     img = merge_channels_into_color_image(channels)
     assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+
+
+def test_firenet_legacy():
+    from v2v_tpu.models.legacy import FireNetLegacy
+    model = FireNetLegacy(unet_kwargs={"num_bins": 5,
+                                       "base_num_channels": 8,
+                                       "num_residual_blocks": 2})
+    b, h, w = 1, 16, 16
+    state = model.init_state(b, h, w)
+    assert len(state) == 2     # head + resblock 0
+    x = jnp.ones((b, h, w, 5))
+    params = model.init(jax.random.PRNGKey(0), x, state)
+    out, state1 = model.apply(params, x, state)
+    assert out["image"].shape == (b, h, w, 1)
+    out2, _ = model.apply(params, x, state1)
+    assert not np.allclose(out["image"], out2["image"])
+
+
+def test_crop_size_3d():
+    from v2v_tpu.ops.pad import CropSize, CropSize3D
+    cs = CropSize(30, 22, {"h": 8, "w": 8})
+    x = jnp.ones((1, 22, 30, 2))
+    p = cs.pad(x)
+    assert p.shape[1] % 8 == 0 and p.shape[2] % 8 == 0
+    np.testing.assert_array_equal(cs.crop(p), x)
+    c3 = CropSize3D(30, 22, 7, {"t": 4, "h": 8, "w": 8})
+    y = jnp.ones((7, 22, 30, 2))
+    p3 = c3.pad(y)
+    assert p3.shape[0] % 4 == 0
+    np.testing.assert_array_equal(c3.crop(p3), y)
+
+
+def test_flow_perceptual_and_combined_losses():
+    from v2v_tpu.losses.lpips import LPIPS
+    from v2v_tpu.losses.losses import (combined_perceptual_loss,
+                                       flow_perceptual_loss)
+    lp = LPIPS("alex")
+    img = jnp.asarray(np.random.rand(1, 64, 64, 1).astype(np.float32))
+    flow = jnp.asarray(np.random.rand(1, 64, 64, 2).astype(np.float32))
+    v = combined_perceptual_loss(lp, img, flow, img * 0.9, flow * 0.9)
+    assert np.isfinite(float(v))
+    v2 = flow_perceptual_loss(lp, flow, flow * 0.5)
+    assert np.isfinite(float(v2))
+
+
+def test_train_step_hyper_curriculum_compiles():
+    from v2v_tpu.ops.voxel import SimConfig
+    from v2v_tpu.training.interface import ModelInterface
+    from v2v_tpu.training.optim import Adam
+    from v2v_tpu.training.steps import make_train_step
+    cfg = {
+        "loss": {"l1_weight": 1.0},
+        "hyper_epochs": 4,
+        "model": {"target": "model.hyper_model.HyperE2VID",
+                  "params": {"unet_kwargs": {
+                      "num_bins": 5, "skip_type": "sum",
+                      "recurrent_block_type": "convlstm",
+                      "num_encoders": 3, "base_num_channels": 4,
+                      "num_residual_blocks": 1, "use_upsample_conv": True,
+                      "norm": None, "use_dynamic_decoder": True}}},
+    }
+    iface = ModelInterface(cfg)
+    params, _ = iface.init(jax.random.PRNGKey(0), 2, 32, 32)
+    opt = Adam(lr=1e-4).make()
+    opt_state = opt.init(params)
+    step = make_train_step(iface, opt, sim_cfg=SimConfig(), donate=False)
+    n = 2 * 5 + 1
+    rng = np.random.RandomState(0)
+    batch = {"video": jnp.asarray(
+        rng.randint(0, 255, (2, n, 32, 32)).astype(np.uint8)),
+        "data_source_idx": jnp.full((2,), 11, jnp.int32)}
+    params, opt_state, loss, aux = step(params, opt_state, batch,
+                                        jax.random.PRNGKey(1),
+                                        hyper_beta=0.75)
+    assert np.isfinite(float(loss))

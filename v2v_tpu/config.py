@@ -29,6 +29,7 @@ TARGET_ALIASES: Dict[str, str] = {
     "model.eraft.eraft.ERAFT": "v2v_tpu.models.eraft.ERAFT",
     "model.nernet_model.RepresentationRecurrent":
         "v2v_tpu.models.nernet.RepresentationRecurrent",
+    "model.legacy.FireNet_legacy": "v2v_tpu.models.legacy.FireNetLegacy",
     # optimizers / schedulers (resolved by v2v_tpu.training.optim)
     "torch.optim.Adam": "v2v_tpu.training.optim.Adam",
     "torch.optim.AdamW": "v2v_tpu.training.optim.AdamW",

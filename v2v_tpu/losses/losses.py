@@ -96,3 +96,22 @@ def voxel_warping_flow_loss(voxel: Array, displacement: Array,
 
 def mse_metric(pred: Array, target: Array) -> Array:
     return ((pred - target) ** 2).mean()
+
+
+def combined_perceptual_loss(lpips, pred_img: Array, pred_flow: Array,
+                             target_img: Array, target_flow: Array,
+                             weight: float = 1.0) -> Array:
+    """Image+flow channels concatenated into one 3-channel LPIPS input
+    (reference model/loss.py:8-24). Inputs NHWC (img 1ch, flow 2ch)."""
+    pred = jnp.concatenate([pred_img, pred_flow], axis=-1)
+    target = jnp.concatenate([target_img, target_flow], axis=-1)
+    return weight * lpips(pred, target, normalize=False).mean()
+
+
+def flow_perceptual_loss(lpips, pred: Array, target: Array,
+                         weight: float = 1.0) -> Array:
+    """LPIPS per flow component, averaged (reference model/loss.py:64-79)."""
+    dx = lpips(pred[..., 0:1], target[..., 0:1], normalize=False)
+    dy = lpips(pred[..., 1:2], target[..., 1:2], normalize=False)
+    return weight * (dx + dy).mean() / 2
+

@@ -42,6 +42,75 @@ def optimal_crop_size(max_size: int, max_subsample_factor: int,
     return f * math.ceil(max_size / f) + safety_margin * f
 
 
+class CropSize:
+    """Centered pad/crop to multiples of an arbitrary patch size
+    (model/model_util.py:162-192; used by EITR's pad-to-8)."""
+
+    def __init__(self, width: int, height: int, patch_size: dict,
+                 safety_margin: int = 0):
+        fh, fw = patch_size["h"], patch_size["w"]
+        self.height, self.width = height, width
+        self.height_crop_size = fh * math.ceil(height / fh) + safety_margin * fh
+        self.width_crop_size = fw * math.ceil(width / fw) + safety_margin * fw
+        self.padding_top = math.ceil(0.5 * (self.height_crop_size - height))
+        self.padding_bottom = math.floor(0.5 * (self.height_crop_size - height))
+        self.padding_left = math.ceil(0.5 * (self.width_crop_size - width))
+        self.padding_right = math.floor(0.5 * (self.width_crop_size - width))
+        cx = math.floor(self.width_crop_size / 2)
+        cy = math.floor(self.height_crop_size / 2)
+        self.ix0 = cx - math.floor(width / 2)
+        self.ix1 = cx + math.ceil(width / 2)
+        self.iy0 = cy - math.floor(height / 2)
+        self.iy1 = cy + math.ceil(height / 2)
+
+    def pad(self, x: Array) -> Array:
+        pad = ([(0, 0)] * (x.ndim - 3)
+               + [(self.padding_top, self.padding_bottom),
+                  (self.padding_left, self.padding_right), (0, 0)])
+        return jnp.pad(x, pad)
+
+    def crop(self, x: Array) -> Array:
+        return x[..., self.iy0:self.iy1, self.ix0:self.ix1, :]
+
+
+class CropSize3D:
+    """3D (T, H, W) variant (model/model_util.py:121-159)."""
+
+    def __init__(self, width: int, height: int, time: int, patch_size: dict,
+                 safety_margin: int = 0):
+        ft, fh, fw = patch_size["t"], patch_size["h"], patch_size["w"]
+        self.time_crop_size = ft * math.ceil(time / ft) + safety_margin * ft
+        self.height_crop_size = fh * math.ceil(height / fh) + safety_margin * fh
+        self.width_crop_size = fw * math.ceil(width / fw) + safety_margin * fw
+        self.padding_front = math.ceil(0.5 * (self.time_crop_size - time))
+        self.padding_back = math.floor(0.5 * (self.time_crop_size - time))
+        self.padding_top = math.ceil(0.5 * (self.height_crop_size - height))
+        self.padding_bottom = math.floor(0.5 * (self.height_crop_size - height))
+        self.padding_left = math.ceil(0.5 * (self.width_crop_size - width))
+        self.padding_right = math.floor(0.5 * (self.width_crop_size - width))
+        ct = math.floor(self.time_crop_size / 2)
+        cy = math.floor(self.height_crop_size / 2)
+        cx = math.floor(self.width_crop_size / 2)
+        self.it0 = ct - math.floor(time / 2)
+        self.it1 = ct + math.ceil(time / 2)
+        self.iy0 = cy - math.floor(height / 2)
+        self.iy1 = cy + math.ceil(height / 2)
+        self.ix0 = cx - math.floor(width / 2)
+        self.ix1 = cx + math.ceil(width / 2)
+
+    def pad(self, x: Array) -> Array:
+        """x: (..., T, H, W, C)."""
+        pad = ([(0, 0)] * (x.ndim - 4)
+               + [(self.padding_front, self.padding_back),
+                  (self.padding_top, self.padding_bottom),
+                  (self.padding_left, self.padding_right), (0, 0)])
+        return jnp.pad(x, pad)
+
+    def crop(self, x: Array) -> Array:
+        return x[..., self.it0:self.it1, self.iy0:self.iy1,
+                 self.ix0:self.ix1, :]
+
+
 class CropParameters:
     """Centered zero-pad to the optimal size and crop back
     (model/model_util.py:56-103)."""

@@ -301,10 +301,21 @@ class RepresentationRecurrent(nn.Module):
         ne, cp = self._dims(height, width)
         padded = cp.pad(vox)
         unet_state = state[0]
-        out, new_unet_state = UNetNIAMSTcellGCB(
-            num_bins, kw.get("base_num_channels", 32), ne,
-            kw.get("num_residual_blocks", 2), kw.get("kernel_size", 5),
-            name="unetrecurrent")(padded, unet_state, train=train)
+        network = kw.get("recurrent_network", "NIAM_STcell_GCB")
+        if network == "NIAM_STcell_GCB":
+            out, new_unet_state = UNetNIAMSTcellGCB(
+                num_bins, kw.get("base_num_channels", 32), ne,
+                kw.get("num_residual_blocks", 2), kw.get("kernel_size", 5),
+                name="unetrecurrent")(padded, unet_state, train=train)
+        else:
+            # plain recurrent UNet backbone (nernet/unet.py:80-137);
+            # flax infers the 2*num_bins head input lazily
+            from .unet import UNetConfig, UNetRecurrent
+            cfg = UNetConfig.from_kwargs(dict(kw))
+            cfg.num_output_channels = 1
+            out, new_unet_state = UNetRecurrent(cfg, name="unetrecurrent")(
+                padded, list(unet_state), train=train)
+            new_unet_state = tuple(new_unet_state)
         img = cp.crop(out["image"])
         return {"image": img, "voxel": vox}, (new_unet_state, state[-1])
 
@@ -316,6 +327,13 @@ class RepresentationRecurrent(nn.Module):
         base = self.unet_kwargs.get("base_num_channels", 32)
         cp = CropParameters(width, height, ne)
         ph, pw = cp.height_crop_size, cp.width_crop_size
+        network = self.unet_kwargs.get("recurrent_network",
+                                       "NIAM_STcell_GCB")
+        if network != "NIAM_STcell_GCB":
+            from .unet import UNetConfig, _encoder_states
+            cfg = UNetConfig.from_kwargs(dict(self.unet_kwargs))
+            return (tuple(_encoder_states(cfg, batch, ph, pw, dtype)),
+                    (height, width))
         h_t, c_t = [], []
         for i in range(ne):
             shape = (batch, ph // 2 ** (i + 1), pw // 2 ** (i + 1),

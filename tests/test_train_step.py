@@ -117,3 +117,27 @@ def test_eval_forward_state_streaming():
     np.testing.assert_allclose(np.asarray(full),
                                np.concatenate([first, second], axis=1),
                                atol=1e-5)
+
+
+def test_train_step_bf16_compute():
+    """Mixed-precision option: bf16 forward/backward, f32 master params."""
+    cfg = dict(MODULE_CFG)
+    cfg["compute_dtype"] = "bfloat16"
+    iface = ModelInterface(cfg)
+    params, _ = iface.init(jax.random.PRNGKey(0), 2, 32, 32)
+    opt = Adam(lr=1e-3).make()
+    opt_state = opt.init(params)
+    step = make_train_step(iface, opt, sim_cfg=SimConfig(), donate=False)
+    batch = _video_batch()
+    losses = []
+    for i in range(4):
+        params, opt_state, loss, _ = step(params, opt_state, batch,
+                                          jax.random.fold_in(
+                                              jax.random.PRNGKey(1), i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # master params stayed f32
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(params)
+               if jnp.issubdtype(p.dtype, jnp.floating))

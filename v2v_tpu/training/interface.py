@@ -65,6 +65,10 @@ class ModelInterface:
         self.loss_cfg = LossConfig.from_dict(configs.get("loss", {}))
         self.normalize_voxels = configs.get("normalize_voxels", False)
         self.hyper_epochs = configs.get("hyper_epochs", 0)
+        # 'bfloat16' runs the recurrent forward/backward in bf16 (params
+        # cast per step, master params and the loss stay f32) — MXU-
+        # friendly mixed precision; None = f32 throughout
+        self.compute_dtype = configs.get("compute_dtype", None)
         self.pred_channels = configs.get("pred_channels", 1)
         self.is_nernet = configs.get("is_nernet", False)
         self._lpips_train: Optional[LPIPS] = None
@@ -117,6 +121,14 @@ class ModelInterface:
         if self.normalize_voxels:
             events = normalize_batch_voxel(events)
         events, hw = pad_to_multiple(events, 16)
+        if train and self.compute_dtype:
+            dtype = jnp.dtype(self.compute_dtype)
+            params = jax.tree.map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+            events = events.astype(dtype)
+            if gt_frames is not None:
+                gt_frames = gt_frames.astype(dtype)
 
         use_hyper = hyper_beta is not None and gt_frames is not None
         if use_hyper:
@@ -143,10 +155,13 @@ class ModelInterface:
             # 16 GB HBM). Rematerialize: keep only the carried states
             # per step, recompute activations in the backward pass.
             step = jax.checkpoint(step)
+        if train and self.compute_dtype:
+            state = jax.tree.map(
+                lambda x: x.astype(jnp.dtype(self.compute_dtype)), state)
         final_state, imgs = jax.lax.scan(step, state, xs)
         imgs = jnp.swapaxes(imgs, 0, 1)              # (B,T,ph,pw,C)
         imgs = crop_from_multiple(imgs, hw)
-        return imgs, final_state
+        return imgs.astype(jnp.float32), final_state
 
     def forward_sequence_nernet(self, params, events_list, state):
         """NerNet raw-event path (train_utils.py:350-378): B=1, a python

@@ -53,6 +53,29 @@ def make_scheduler(cfg: Dict[str, Any]):
     return cls(**cfg.get("params", {}))
 
 
+def _prefetch_to_device(iterator, mesh, size: int = 2):
+    """Double-buffered host->device prefetch: keep `size` sharded batches
+    in flight so decode/collate overlaps device compute (the reference
+    relies on torch DataLoader worker prefetch; here transfer is
+    explicit)."""
+    import collections
+    buf = collections.deque()
+
+    def put(item):
+        host_meta = {k: item.pop(k) for k in list(item)
+                     if not isinstance(item[k], np.ndarray)}
+        src_idx = item.get("data_source_idx")
+        dev = shard_batch({k: jnp.asarray(v) for k, v in item.items()}, mesh)
+        return dev, src_idx, host_meta
+
+    for item in iterator:
+        buf.append(put(dict(item)))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class _Writer:
     """TensorBoard writer (tensorboardX), no-op if unavailable."""
 
@@ -193,15 +216,12 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
 
             t0 = time.time()
             n_batches = 0
-            for batch_idx, batch in enumerate(train_loader):
+            prefetched = _prefetch_to_device(iter(train_loader), mesh)
+            for batch_idx, (batch, src_idx, host_meta) in enumerate(
+                    prefetched):
                 if (max_batches_per_epoch is not None
                         and batch_idx >= max_batches_per_epoch):
                     break
-                host_meta = {k: batch.pop(k) for k in list(batch)
-                             if not isinstance(batch[k], np.ndarray)}
-                src_idx = batch.get("data_source_idx")
-                batch = shard_batch(
-                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
                 opt_state.hyperparams["learning_rate"] = base_lr * lr_scale
                 step_key = jax.random.fold_in(key, global_epoch * 100003
                                               + batch_idx)
@@ -230,7 +250,8 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                     logs = aggregate_per_source(
                         {k: np.asarray(v) for k, v in aux.items()},
                         np.asarray(src_idx))
-                    step = global_epoch * max(len(train_loader), 1) + batch_idx
+                    step = (global_epoch * max(len(train_loader), 1)
+                            + batch_idx)
                     for k, v in logs.items():
                         writer.add_scalar(f"train/{k}", v, step)
             dt = time.time() - t0

@@ -141,3 +141,41 @@ def test_train_step_bf16_compute():
     assert all(p.dtype == jnp.float32
                for p in jax.tree.leaves(params)
                if jnp.issubdtype(p.dtype, jnp.floating))
+
+
+def test_train_step_eitr_with_dropout():
+    """ETNet in the training path: dropout rngs threaded through the
+    scan (each timestep gets a fresh key)."""
+    cfg = {
+        "loss": {"l1_weight": 1.0},
+        "model": {"target": "model.eitr.eitr.EITR",
+                  "params": {"eitr_kwargs": {"num_bins": 5, "norm": None}}},
+    }
+    iface = ModelInterface(cfg)
+    params, _ = iface.init(jax.random.PRNGKey(0), 1, 32, 32)
+    opt = Adam(lr=1e-4).make()
+    opt_state = opt.init(params)
+    step = make_train_step(iface, opt, sim_cfg=SimConfig(), donate=False)
+    batch = _video_batch(b=1, seq_len=2)
+    params, opt_state, loss, _ = step(params, opt_state, batch,
+                                      jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+
+
+def test_train_step_esim_dataset_path():
+    """Pre-voxelized (ESIM cache) batches train without the simulator."""
+    iface = ModelInterface(MODULE_CFG)
+    params, _ = iface.init(jax.random.PRNGKey(0), 2, 32, 32)
+    opt = Adam(lr=1e-3).make()
+    opt_state = opt.init(params)
+    step = make_train_step(iface, opt, sim_cfg=None, donate=False)
+    rng = np.random.RandomState(0)
+    batch = {
+        "events": jnp.asarray(rng.randn(2, 3, 32, 32, 5).astype(np.float32)),
+        "frame": jnp.asarray(rng.rand(2, 3, 32, 32, 1).astype(np.float32)),
+        "flow": jnp.zeros((2, 3, 32, 32, 2)),
+        "data_source_idx": jnp.zeros((2,), jnp.int32),
+    }
+    params, opt_state, loss, _ = step(params, opt_state, batch,
+                                      jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))

@@ -114,6 +114,7 @@ class ModelInterface:
                          state: Any, train: bool = False,
                          gt_frames: Optional[Array] = None,
                          hyper_beta: Optional[Array] = None,
+                         dropout_rng: Optional[Array] = None,
                          ) -> Tuple[Array, Any]:
         """events: (B,T,H,W,bins) -> pred images (B,T,H,W,pred_ch) in
         [0,1]-ish range, plus the final recurrent state."""
@@ -137,16 +138,28 @@ class ModelInterface:
         else:
             xs = (jnp.swapaxes(events, 0, 1),)
 
+        # stochastic layers (EITR dropout) draw a fresh key per timestep,
+        # carried through the scan
+        use_rng = train and dropout_rng is not None
+
         def step(carry, x):
+            if use_rng:
+                carry, key = carry
+                key, sub = jax.random.split(key)
+                kwargs = {"rngs": {"dropout": sub}}
+            else:
+                kwargs = {}
             if use_hyper:
                 voxel, gt = x
                 out, new_state = self.model.apply(
                     params, voxel, carry, train=train,
-                    gt_image=gt, beta=hyper_beta)
+                    gt_image=gt, beta=hyper_beta, **kwargs)
             else:
                 (voxel,) = x
                 out, new_state = self.model.apply(
-                    params, voxel, carry, train=train)
+                    params, voxel, carry, train=train, **kwargs)
+            if use_rng:
+                new_state = (new_state, key)
             return new_state, out["image"]
 
         if train:
@@ -158,7 +171,11 @@ class ModelInterface:
         if train and self.compute_dtype:
             state = jax.tree.map(
                 lambda x: x.astype(jnp.dtype(self.compute_dtype)), state)
+        if use_rng:
+            state = (state, dropout_rng)   # after the dtype cast — keys
         final_state, imgs = jax.lax.scan(step, state, xs)
+        if use_rng:
+            final_state, _ = final_state
         imgs = jnp.swapaxes(imgs, 0, 1)              # (B,T,ph,pw,C)
         imgs = crop_from_multiple(imgs, hw)
         return imgs.astype(jnp.float32), final_state

@@ -102,15 +102,19 @@ def make_train_step(interface: ModelInterface,
         b, _, h, w, _ = batch["events"].shape
         state0 = interface.init_state(b, h, w)
 
+        drop_key = jax.random.fold_in(key, 0x5eed)
+
         def loss_fn(p):
             if use_hyper:
                 # GT-mixing curriculum (train_utils.py:307,328-342)
                 pred, _ = interface.forward_sequence(
                     p, batch["events"], state0, train=True,
-                    gt_frames=batch["frame"], hyper_beta=hyper_beta)
+                    gt_frames=batch["frame"], hyper_beta=hyper_beta,
+                    dropout_rng=drop_key)
             else:
                 pred, _ = interface.forward_sequence(
-                    p, batch["events"], state0, train=True)
+                    p, batch["events"], state0, train=True,
+                    dropout_rng=drop_key)
             return interface.calc_loss(pred, batch)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

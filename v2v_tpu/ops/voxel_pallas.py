@@ -49,8 +49,16 @@ def _uniform01(shape):
         1.0 / (1 << 24))
 
 
-def _gaussian(shape):
-    """Box-Muller from two uniform draws."""
+def _gaussian(shape, fast: bool = True):
+    """Gaussian noise. fast=True: Irwin-Hall sum of 4 uniforms scaled to
+    unit variance — no transcendentals (the simulator draws 2 gaussians
+    per pixel-frame; log/sqrt/cos dominate the kernel otherwise). Tails
+    truncate at ±3.46σ, irrelevant for noise augmentation.
+    fast=False: exact Box-Muller."""
+    if fast:
+        s = (_uniform01(shape) + _uniform01(shape)
+             + _uniform01(shape) + _uniform01(shape))
+        return (s - 2.0) * 1.7320508           # sqrt(12/4)
     u1 = _uniform01(shape)
     u2 = _uniform01(shape)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
@@ -59,7 +67,7 @@ def _gaussian(shape):
 
 def _sim_kernel(seed_ref, pos_ref, neg_ref, noise_ref, hotfrac_ref,
                 hotstd_ref, video_ref, out_ref, pot_ref, logprev_ref,
-                hot_ref, *, noise_free: bool):
+                hot_ref, *, noise_free: bool, fast_gaussian: bool = True):
     b = pl.program_id(0)
     tile = pl.program_id(1)
     n = video_ref.shape[1]          # block is (1, N, TILE_H, W)
@@ -86,7 +94,8 @@ def _sim_kernel(seed_ref, pos_ref, neg_ref, noise_ref, hotfrac_ref,
         u = _uniform01(shape)
         pot_ref[:] = u * (pos_thres + neg_thres) - neg_thres
         hot_mask = _uniform01(shape) < hot_frac
-        hot_ref[:] = jnp.where(hot_mask, hot_std * _gaussian(shape), 0.0)
+        hot_ref[:] = jnp.where(
+            hot_mask, hot_std * _gaussian(shape, fast_gaussian), 0.0)
 
     first = video_ref[0, 0]
     logprev_ref[:] = jnp.log(0.001 + (first * (1.0 / 255.0)) ** 2.2)
@@ -96,7 +105,7 @@ def _sim_kernel(seed_ref, pos_ref, neg_ref, noise_ref, hotfrac_ref,
         log_new = jnp.log(0.001 + (frame * (1.0 / 255.0)) ** 2.2)
         pot = pot_ref[:] + (log_new - logprev_ref[:])
         if not noise_free:
-            pot = pot + base_std * _gaussian(shape) + hot_ref[:]
+            pot = pot + base_std * _gaussian(shape, fast_gaussian) + hot_ref[:]
         pos_ev = jnp.where(pot >= pos_thres,
                            jnp.floor(pot / pos_thres), 0.0)
         neg_ev = jnp.where(pot <= -neg_thres,
@@ -110,11 +119,11 @@ def _sim_kernel(seed_ref, pos_ref, neg_ref, noise_ref, hotfrac_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "noise_free",
-                                             "interpret"))
+                                             "interpret", "fast_gaussian"))
 def simulate_batch_pallas(
     video: Array, seeds: Array, params: SimParams,
     *, tile_h: int = 16, noise_free: bool = False,
-    interpret: bool = False,
+    interpret: bool = False, fast_gaussian: bool = True,
 ) -> Array:
     """(B, N, H, W) video + (B,) int32 seeds + per-sample SimParams
     (each field (B,)) -> (B, N-1, H, W) signed event-count frames.
@@ -130,7 +139,8 @@ def simulate_batch_pallas(
     def scalar_spec():
         return pl.BlockSpec(memory_space=pltpu.SMEM)   # whole (B,) array
 
-    kernel = functools.partial(_sim_kernel, noise_free=noise_free)
+    kernel = functools.partial(_sim_kernel, noise_free=noise_free,
+                               fast_gaussian=fast_gaussian)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -138,6 +138,7 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
     opt_state = None
     cur_epoch = 0
     just_resumed = False
+    pending_opt_state = None
     key = jax.random.PRNGKey(configs.get("seed", 0))
 
     # decide start stage from cumulative epochs (train.py:216-222)
@@ -191,14 +192,24 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
         opt_state = optimizer.init(params)
 
         if checkpoint_path is not None and not just_resumed:
-            params, opt_state, meta = load_checkpoint(
+            params, loaded_opt_state, meta = load_checkpoint(
                 checkpoint_path, params, opt_state)
             cur_epoch = meta["epoch"] + 1
             just_resumed = True
+            pending_opt_state = loaded_opt_state
             print(f"Resumed from {checkpoint_path} at epoch {cur_epoch}")
 
         if stage_of_epoch(cur_epoch) > stage_idx:
             continue    # this stage already finished before resume
+
+        # restore the optimizer state into the stage we actually resume
+        # in (reference train.py:240-242); drop it if the stage's
+        # optimizer has a different state structure
+        if just_resumed and pending_opt_state is not None:
+            if (jax.tree.structure(pending_opt_state)
+                    == jax.tree.structure(opt_state)):
+                opt_state = pending_opt_state
+            pending_opt_state = None
 
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
@@ -255,8 +266,9 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                     for k, v in logs.items():
                         writer.add_scalar(f"train/{k}", v, step)
             dt = time.time() - t0
+            last_loss = float(loss) if n_batches else float("nan")
             print(f"Stage {stage_idx}, epoch {global_epoch}: "
-                  f"{n_batches} steps in {dt:.1f}s, loss={float(loss):.4f}")
+                  f"{n_batches} steps in {dt:.1f}s, loss={last_loss:.4f}")
 
             is_val_epoch = (global_epoch % configs.get(
                 "check_val_every_n_epoch", 1) == 0

@@ -109,3 +109,35 @@ def test_normalize_nobias_range():
 def test_mse():
     a, b = np.zeros((4, 4)), np.ones((4, 4))
     assert mse(a, b) == 1.0
+
+
+def test_calc_loss_lpips_chunking_matches_direct():
+    """The chunked/rematted LPIPS term must equal the direct per-frame
+    computation (ordering check for the (T/chunk, chunk*B) fold)."""
+    from v2v_tpu.training.interface import ModelInterface
+    cfg = {
+        "loss": {"lpips_weight": 1.0, "lpips_type": "alex"},
+        "model": {"target": "model.model.E2VIDRecurrent",
+                  "params": {"unet_kwargs": {
+                      "num_bins": 5, "skip_type": "sum",
+                      "recurrent_block_type": "convlstm",
+                      "num_encoders": 3, "base_num_channels": 4,
+                      "num_residual_blocks": 1, "use_upsample_conv": True,
+                      "final_activation": "", "norm": "none"}}},
+    }
+    iface = ModelInterface(cfg)
+    rng = np.random.RandomState(0)
+    b, t = 2, 4
+    pred = jnp.asarray(rng.rand(b, t, 64, 64, 1).astype(np.float32))
+    frames = jnp.asarray(rng.rand(b, t, 64, 64, 1).astype(np.float32))
+    _, aux = iface.calc_loss(pred, {"frame": frames,
+                                    "data_source_idx": jnp.zeros((b,),
+                                                                 jnp.int32)})
+    got = np.asarray(aux["perceptual_loss"])
+    want = np.zeros(b)
+    for bi in range(b):
+        for ti in range(t):
+            want[bi] += float(iface.lpips_train(
+                pred[bi:bi + 1, ti], frames[bi:bi + 1, ti], True)[0])
+    want /= t
+    np.testing.assert_allclose(got, want, rtol=1e-4)

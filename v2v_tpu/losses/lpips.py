@@ -181,9 +181,10 @@ class LPIPS:
         for k, v in _load_lin_weights(net).items():
             params["params"][k] = v
         self.params = jax.tree.map(jnp.asarray, params)
-        self._jitted = jax.jit(self._dist, static_argnums=(2,))
+        self._jitted = jax.jit(self._dist, static_argnums=(2, 3))
 
-    def _dist(self, in0: Array, in1: Array, normalize: bool) -> Array:
+    def _dist(self, in0: Array, in1: Array, normalize: bool,
+              compute_dtype=None) -> Array:
         if normalize:   # [0,1] -> [-1,1] (reference PerceptualLoss norm)
             in0 = 2.0 * in0 - 1.0
             in1 = 2.0 * in1 - 1.0
@@ -198,7 +199,15 @@ class LPIPS:
             shape = (b, max(h, 64), max(w, 64), c)
             in0 = jax.image.resize(in0, shape, "bilinear")
             in1 = jax.image.resize(in1, shape, "bilinear")
-        return self.module.apply(self.params, in0, in1)
+        params = self.params
+        if compute_dtype is not None:
+            dt = jnp.dtype(compute_dtype)
+            params = jax.tree.map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+            in0 = in0.astype(dt)
+            in1 = in1.astype(dt)
+        return self.module.apply(params, in0, in1).astype(jnp.float32)
 
     def __call__(self, in0: Array, in1: Array, normalize: bool = True) -> Array:
         return self._jitted(in0, in1, normalize)

@@ -16,7 +16,11 @@ Array = jax.Array
 
 def bilinear_sample(img: Array, gx: Array, gy: Array) -> Array:
     """Sample img (B,H,W,C) at pixel coords gx, gy (B,H,W) with bilinear
-    interpolation and zero padding."""
+    interpolation and zero padding.
+
+    Implemented as take_along_axis over a flattened plane (one gather per
+    corner) — lowers markedly better on TPU than multi-dim advanced
+    indexing."""
     b, h, w, c = img.shape
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)
@@ -24,14 +28,14 @@ def bilinear_sample(img: Array, gx: Array, gy: Array) -> Array:
     ty = (gy - y0)[..., None]
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
+    flat = img.reshape(b, h * w, c)
 
     def gather(yi, xi):
         inb = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
-        xi_c = jnp.clip(xi, 0, w - 1)
-        yi_c = jnp.clip(yi, 0, h - 1)
-        batch_idx = jnp.arange(b)[:, None, None]
-        vals = img[batch_idx, yi_c, xi_c]          # (B,H,W,C)
-        return vals * inb[..., None]
+        idx = (jnp.clip(yi, 0, h - 1) * w
+               + jnp.clip(xi, 0, w - 1)).reshape(b, -1, 1)
+        vals = jnp.take_along_axis(flat, idx, axis=1)
+        return vals.reshape(yi.shape + (c,)) * inb[..., None]
 
     v00 = gather(y0i, x0i)
     v01 = gather(y0i, x0i + 1)

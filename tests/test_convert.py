@@ -107,3 +107,29 @@ def test_convgru_variant_parity():
                   final_activation="")
     _run_parity("E2VIDRecurrent", kwargs,
                 E2VIDRecurrent(unet_kwargs=kwargs))
+
+
+def test_wrapper_prefix_stripping():
+    """DDP 'module.' and compile '_orig_mod.' prefixes are stripped
+    (reference convert_to_compiled, train.py:18-39)."""
+    import numpy as np
+    from v2v_tpu.models.convert import torch_state_dict_to_flax
+
+    class T:
+        def __init__(self, a):
+            self.a = np.asarray(a, np.float32)
+
+        def detach(self):
+            return self
+
+        def cpu(self):
+            return self
+
+        def numpy(self):
+            return self.a
+
+    sd = {"_orig_mod.module.head.conv2d.weight": T(np.ones((4, 3, 5, 5))),
+          "_orig_mod.module.head.conv2d.bias": T(np.zeros(4))}
+    out = torch_state_dict_to_flax(sd)
+    assert out["params"]["head"]["conv2d"]["kernel"].shape == (5, 5, 3, 4)
+    assert out["params"]["head"]["conv2d"]["bias"].shape == (4,)

@@ -265,6 +265,12 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                             + batch_idx)
                     for k, v in logs.items():
                         writer.add_scalar(f"train/{k}", v, step)
+                    if process_index == 0 and batch_idx > 0:
+                        rate = batch_idx / max(time.time() - t0, 1e-9)
+                        print(f"  epoch {global_epoch} step {batch_idx}/"
+                              f"{len(train_loader)} "
+                              f"loss={logs.get('loss', float('nan')):.4f} "
+                              f"({rate:.2f} steps/s)", flush=True)
             dt = time.time() - t0
             last_loss = float(loss) if n_batches else float("nan")
             print(f"Stage {stage_idx}, epoch {global_epoch}: "

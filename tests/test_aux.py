@@ -285,3 +285,20 @@ def test_train_step_hyper_curriculum_compiles():
                                         jax.random.PRNGKey(1),
                                         hyper_beta=0.75)
     assert np.isfinite(float(loss))
+
+
+def test_events_to_voxel_sorted_matches_scatter():
+    from v2v_tpu.ops.events import events_to_voxel_sorted
+    from v2v_tpu.ops.voxel import events_to_voxel, relative_us
+    rng = np.random.RandomState(0)
+    n, hh, ww = 3000, 24, 32
+    ts = np.sort(rng.rand(n)) * 0.05 + 10.0
+    t_us = jnp.asarray(relative_us(ts), jnp.int32)
+    xs = jnp.asarray(rng.randint(0, ww, n), jnp.int32)
+    ys = jnp.asarray(rng.randint(0, hh, n), jnp.int32)
+    ps = jnp.asarray(rng.randint(0, 2, n), jnp.int32)
+    a = events_to_voxel(t_us, xs, ys, ps, jnp.int32(n), num_bins=5,
+                        height=hh, width=ww)
+    b = events_to_voxel_sorted(t_us, xs, ys, ps, jnp.int32(n), num_bins=5,
+                               height=hh, width=ww)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -154,6 +154,38 @@ def warp_events_by_flow(xs: Array, ys: Array, ts: Array, flow: Array,
     return xs + fx * dt, ys + fy * dt
 
 
+@functools.partial(jax.jit, static_argnames=("num_bins", "height", "width"))
+def events_to_voxel_sorted(t_us: Array, xs: Array, ys: Array, ps: Array,
+                           n_events: Array, *, num_bins: int, height: int,
+                           width: int) -> Array:
+    """Discrete events->voxel via sort + sorted segment-sum (same math
+    as ops.voxel.events_to_voxel discrete).
+
+    Measured on TPU v5e at 2M events into 5x260x346: the plain XLA
+    scatter does 55 Mev/s vs 34 Mev/s here — the sort costs more than
+    the coalesced accumulation saves, so the scatter path stays the
+    default; this variant is kept for workloads with many events per
+    pixel (higher collision rates favor sorted accumulation)."""
+    e = t_us.shape[0]
+    valid = jnp.arange(e) < n_events
+    pol = jnp.where(valid, ps.astype(jnp.int32) * 2 - 1, 0).astype(
+        jnp.float32)
+    t_us = t_us.astype(jnp.float32)
+    t_last = t_us[jnp.maximum(n_events - 1, 0)]
+    t_per_bin = (t_last + 0.001) / num_bins
+    bin_idx = jnp.clip(jnp.floor(t_us / t_per_bin).astype(jnp.int32),
+                       0, num_bins - 1)
+    n_seg = num_bins * height * width
+    flat = (bin_idx * (height * width)
+            + ys.astype(jnp.int32) * width + xs.astype(jnp.int32))
+    flat = jnp.where(valid, jnp.clip(flat, 0, n_seg - 1), n_seg)
+    order = jnp.argsort(flat)
+    vox = jax.ops.segment_sum(pol[order], flat[order],
+                              num_segments=n_seg + 1,
+                              indices_are_sorted=True)
+    return vox[:n_seg].reshape(num_bins, height, width)
+
+
 def binary_search_h5_dset(dset, x, side: str = "left") -> int:
     """Bisect a sorted (h5) dataset without loading it
     (utils/event_utils.py:10-35)."""

@@ -41,6 +41,8 @@ class FlowModelInterface(ModelInterface):
             out, carry = self.model.apply(params, voxel, carry, train=train)
             return carry, out["flow"]
 
+        if train:
+            step = jax.checkpoint(step)    # bound BPTT memory over T
         final_state, flows = jax.lax.scan(
             step, state, jnp.swapaxes(events, 0, 1))
         flows = jnp.swapaxes(flows, 0, 1)
@@ -58,6 +60,10 @@ class FlowModelInterface(ModelInterface):
             out, carry = self.model.apply(params, v0, v1, carry, train=train)
             return carry, out["flow"]
 
+        if train:
+            # 12 GRU iterations per pair x T pairs of activations would
+            # not fit; recompute per pair in the backward pass
+            step = jax.checkpoint(step)
         final_state, flows = jax.lax.scan(step, state, (prev, curr))
         return jnp.swapaxes(flows, 0, 1), final_state
 

@@ -296,6 +296,14 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                                    if isinstance(v, np.ndarray)},
                             remove_flow_loss=True)
                         val_losses.append(float(vloss))
+                        # per-source val tags (select_best_checkpoint
+                        # averages val/perceptual_loss/{source},
+                        # scripts/select_best_checkpoint.py)
+                        vlogs = aggregate_per_source(
+                            {k: np.asarray(v) for k, v in vaux.items()},
+                            np.asarray(vbatch["data_source_idx"]).reshape(-1))
+                        for k, v in vlogs.items():
+                            writer.add_scalar(f"val/{k}", v, global_epoch)
                         if vidx == 0:
                             from .preview import make_preview
                             try:

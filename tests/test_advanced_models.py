@@ -124,3 +124,17 @@ def test_nernet_voxelization_matches_reference_semantics():
     # first event: t=0 -> value 0 everywhere. second: t=2 (scaled C-1)
     assert v[1, 1].sum() == 0
     assert np.abs(v[2, 2]).sum() > 0
+
+
+def test_eitr_chunked_attention_matches_dense():
+    from v2v_tpu.models.eitr import MultiheadAttention
+    d, heads, n = 64, 4, 300
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (1, n, d))
+    dense = MultiheadAttention(d, heads, chunk_threshold=10 ** 9)
+    params = dense.init(jax.random.PRNGKey(1), q, q, q)
+    out_dense = dense.apply(params, q, q, q)
+    chunked = MultiheadAttention(d, heads, chunk_threshold=128)
+    out_chunked = chunked.apply(params, q, q, q)
+    np.testing.assert_allclose(np.asarray(out_dense),
+                               np.asarray(out_chunked), atol=2e-5)

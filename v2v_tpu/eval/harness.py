@@ -56,8 +56,14 @@ def compute_metrics(iface: ModelInterface, pred_255: np.ndarray,
     out = defaultdict(list)
     pred01 = pred_255 / 255.0
     gt01 = frames / 255.0
-    lp = np.asarray(iface.lpips_test(
-        jnp.asarray(pred01[0]), jnp.asarray(gt01[0]), True))   # (T,)
+    # chunk LPIPS over frames: all 80 frames of a 720p EVAID window at
+    # once would hold ~19 GB of VGG activations
+    lp_chunks = []
+    for i in range(0, t, 8):
+        lp_chunks.append(np.asarray(iface.lpips_test(
+            jnp.asarray(pred01[0, i:i + 8]),
+            jnp.asarray(gt01[0, i:i + 8]), True)))
+    lp = np.concatenate(lp_chunks)                             # (T,)
     for ti in range(t):
         out[f"{prefix}/MSE"].append(mse_fn(pred01[0, ti], gt01[0, ti]))
         out[f"{prefix}/LPIPS"].append(float(lp[ti]))

@@ -45,6 +45,7 @@ class MultiheadAttention(nn.Module):
     d_model: int
     nhead: int
     dropout: float = 0.1
+    chunk_threshold: int = 4096     # chunk eval attention beyond this
 
     @nn.compact
     def __call__(self, q: Array, k: Array, v: Array,
@@ -65,12 +66,34 @@ class MultiheadAttention(nn.Module):
             return x.reshape(b, nn_, h, dh).transpose(0, 2, 1, 3)
 
         aq, ak, av = heads(pq), heads(pk), heads(pv)
-        logits = jnp.einsum("bhnd,bhmd->bhnm", aq, ak,
-                            preferred_element_type=jnp.float32) / np.sqrt(dh)
-        attn = jax.nn.softmax(logits, axis=-1)
-        if train and self.dropout > 0:
-            attn = nn.Dropout(self.dropout, deterministic=False)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, av)
+        n_q = aq.shape[2]
+        if not train and n_q > self.chunk_threshold:
+            # chunked attention for big token counts (720p EVAID eval:
+            # 90x160 = 14400 tokens -> a 14400^2 x 8 logits tensor is
+            # ~6.6 GB; process query blocks sequentially instead)
+            blk = 2048
+            pad = (-n_q) % blk
+            aq_p = jnp.pad(aq, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            qb = aq_p.reshape(aq.shape[0], h, -1, blk, dh)
+
+            def one(q):
+                logits = jnp.einsum("bhnd,bhmd->bhnm", q, ak,
+                                    preferred_element_type=jnp.float32
+                                    ) / np.sqrt(dh)
+                return jnp.einsum("bhnm,bhmd->bhnd",
+                                  jax.nn.softmax(logits, axis=-1), av)
+
+            out = jax.lax.map(one, jnp.moveaxis(qb, 2, 0))
+            out = jnp.moveaxis(out, 0, 2).reshape(
+                aq.shape[0], h, -1, dh)[:, :, :n_q]
+        else:
+            logits = jnp.einsum("bhnd,bhmd->bhnm", aq, ak,
+                                preferred_element_type=jnp.float32
+                                ) / np.sqrt(dh)
+            attn = jax.nn.softmax(logits, axis=-1)
+            if train and self.dropout > 0:
+                attn = nn.Dropout(self.dropout, deterministic=False)(attn)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, av)
         b, _, n_, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n_, d)
         return nn.Dense(d, name="out_proj")(out)

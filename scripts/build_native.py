@@ -6,7 +6,6 @@ v2v_tpu.data.native (ctypes) with a numpy fallback when absent.
 """
 import os
 import subprocess
-import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NATIVE = os.path.join(ROOT, "native")

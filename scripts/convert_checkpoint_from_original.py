@@ -33,7 +33,6 @@ def strip(in_path: str, out_path: str) -> None:
 
 def convert(config_path: str, in_path: str, out_path: str) -> None:
     import jax
-    import numpy as np
     from v2v_tpu.config import load_yaml
     from v2v_tpu.models.convert import convert_checkpoint
     from v2v_tpu.training.checkpoint import save_checkpoint

@@ -6,7 +6,6 @@ produces `{subpath} {framecount}` lines for clips judged usable.
 
 Usage: python scripts/qwen_vl_annotate.py <webvid_root> <video_list.txt> <out_list.txt>
 """
-import argparse
 import json
 import os
 import sys

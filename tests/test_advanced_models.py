@@ -2,7 +2,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 
 def test_eitr_forward():
@@ -138,3 +137,31 @@ def test_eitr_chunked_attention_matches_dense():
     out_chunked = chunked.apply(params, q, q, q)
     np.testing.assert_allclose(np.asarray(out_dense),
                                np.asarray(out_chunked), atol=2e-5)
+
+def test_lookup_pyramid_matmul_matches_gather():
+    """The separable-matmul window lookup must equal the per-corner
+    bilinear gather (grid_sample zero-padding semantics), including
+    far out-of-range coords."""
+    import jax.numpy as jnp
+    from v2v_tpu.models.eraft import lookup_pyramid, _bilinear_gather
+    rng = np.random.RandomState(0)
+    b, h, w, r = 2, 6, 8, 3
+    pyr, (hh, ww) = [], (h, w)
+    for _ in range(3):
+        pyr.append(jnp.asarray(rng.rand(b * h * w, hh, ww, 1)
+                               .astype(np.float32)))
+        hh, ww = max(hh // 2, 1), max(ww // 2, 1)
+    coords = jnp.asarray((rng.rand(b, h, w, 2) * 24 - 8).astype(np.float32))
+    got = np.asarray(lookup_pyramid(pyr, coords, radius=r))
+
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    dy, dx = jnp.meshgrid(d, d, indexing="ij")
+    off_x, off_y = dy.reshape(1, -1), dx.reshape(1, -1)
+    flat = coords.reshape(b * h * w, 2)
+    ref = []
+    for i, corr in enumerate(pyr):
+        cx = flat[:, 0:1] / (2 ** i) + off_x
+        cy = flat[:, 1:2] / (2 ** i) + off_y
+        ref.append(np.asarray(_bilinear_gather(corr, cx, cy))
+                   .reshape(b, h, w, -1))
+    np.testing.assert_allclose(got, np.concatenate(ref, -1), atol=1e-5)

@@ -1,6 +1,5 @@
 """Tests for the v2e emulator, event kernels, ESIM dataset, augmentation
 library, preview, timers, and the NerNet test-harness path."""
-import os
 
 import h5py
 import numpy as np

@@ -1,6 +1,5 @@
 """Data layer tests with synthetic HQF-format h5 files and synthetic
 videos."""
-import os
 
 import h5py
 import numpy as np

@@ -4,9 +4,7 @@ step -> checkpoint + ckpt_paths protocol -> test harness with streaming
 eval + CSV + beat_method."""
 import os
 
-import numpy as np
 import pytest
-import yaml
 
 from test_data import make_hqf_h5, _write_video
 

@@ -4,7 +4,6 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from test_data import make_hqf_h5
 from v2v_tpu.training.flow_interface import (FlowModelInterface, flow2rgb_np,

@@ -5,7 +5,6 @@ import sys
 
 import h5py
 import numpy as np
-import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

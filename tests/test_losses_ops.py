@@ -1,6 +1,5 @@
 """Tests for losses, warp, normalization, padding, and metrics."""
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

@@ -3,7 +3,6 @@ reference architectures."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from v2v_tpu.models.model import (ColorE2VID, E2VIDRecurrent, EVFlowNet,
                                   FireNet, FlowNet, FlowNetNoRecur, WFlowNet)

@@ -3,7 +3,6 @@ optimizer, single device and 8-device data-parallel mesh."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from v2v_tpu.ops.voxel import SimConfig
 from v2v_tpu.training.interface import ModelInterface, aggregate_per_source

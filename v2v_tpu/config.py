@@ -9,7 +9,7 @@ of python import reflection.
 from __future__ import annotations
 
 import importlib
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 import yaml
 

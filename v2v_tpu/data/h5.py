@@ -13,7 +13,7 @@ the layout change is the only intentional difference.)
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import h5py
 import numpy as np

@@ -12,7 +12,7 @@ from __future__ import annotations
 import bisect
 import queue
 import threading
-from typing import Any, Dict, Iterator, List, Optional, Sequence
+from typing import Any, Dict, Iterator, List, Sequence
 
 import numpy as np
 

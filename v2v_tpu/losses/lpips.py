@@ -24,7 +24,7 @@ from __future__ import annotations
 import functools
 import os
 import warnings
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ stripped, mirroring convert_to_compiled (reference train.py:18-39).
 """
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, List, Tuple
 
 import numpy as np
@@ -160,7 +159,6 @@ def validate_against(template: Dict[str, Any], converted: Dict[str, Any],
             f"({len(missing)} total), shape-mismatch={mismatched[:5]}, "
             f"extra={extra[:5]} ({len(extra)} total)")
     # rebuild with template structure
-    import jax
     flat_out = {}
     for p, v in tpl.items():
         flat_out[p] = np.asarray(cvt[p]) if p in cvt and tuple(

@@ -29,7 +29,7 @@ import numpy as np
 from flax import linen as nn
 
 from .submodules import ConvLayer, RecurrentConvLayer, ResidualBlock
-from .unet import UNetConfig, _Decoders, _encoder_states
+from .unet import UNetConfig, _encoder_states
 
 Array = jax.Array
 

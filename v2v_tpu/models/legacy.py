@@ -9,8 +9,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .submodules import (ConvGRU, ConvLayer, ConvLSTM, RecurrentConvLayer,
-                         ResidualBlock)
+from .submodules import ConvGRU, ConvLSTM, RecurrentConvLayer, ResidualBlock
 
 Array = jax.Array
 

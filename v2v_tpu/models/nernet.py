@@ -15,11 +15,10 @@ model/nernet_model.py:50-72 — here params are resolution-free).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..ops.pad import CropParameters

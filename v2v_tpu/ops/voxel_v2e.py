@@ -23,7 +23,7 @@ Implemented as a `lax.scan` over frames with the pixel state
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

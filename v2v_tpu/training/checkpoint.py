@@ -8,7 +8,6 @@ Kept verbatim here. The payload is a flax-serialized pytree
 """
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, Optional, Tuple
 

@@ -16,7 +16,6 @@ flow (B,T,H,W,2).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

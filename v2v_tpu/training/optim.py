@@ -11,7 +11,7 @@ recompiling.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import optax
 

@@ -20,19 +20,16 @@ volume plus scanned GRU refinements.
 """
 from __future__ import annotations
 
-import functools
 import os
-import warnings
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
-from ..models.eraft import (FrozenBatchNorm, _bilinear_gather,
-                            convex_upsample, correlation_pyramid,
-                            instance_norm, lookup_pyramid)
+from ..models.eraft import (FrozenBatchNorm, convex_upsample,
+                            correlation_pyramid, instance_norm,
+                            lookup_pyramid)
 
 Array = jax.Array
 
@@ -278,21 +275,37 @@ def _load_params(name: str, model: RAFT):
 
 
 def raft_flow(source: str, frames: Array, l0: int = 1,
-              num_flow_updates: int = 12) -> Array:
+              num_flow_updates: int = 12,
+              compute_dtype=jnp.bfloat16) -> Array:
     """Pseudo-GT flow for a frame sequence (inference_raft,
     model/train_utils.py:55-79): frames (B,T,H,W,C) in [0,1] ->
-    flow (B,T,H,W,2) with zeros for t < l0."""
+    flow (B,T,H,W,2) with zeros for t < l0.
+
+    Runs the teacher in bf16 by default: it is inference-only pseudo-GT
+    (no gradients flow through it, steps.py calls it outside loss_fn) and
+    it dominates the train step otherwise. Pass compute_dtype=None for
+    f32."""
     if source not in _cache:
         model = RAFT(small=source == "raft_small", iters=num_flow_updates)
         _cache[source] = (model, _load_params(source, model))
     model, params = _cache[source]
     b, t, h, w, c = frames.shape
+    if t <= l0:
+        raise ValueError(
+            f"raft_flow: sequence has {t} frames but temporal_consistency_"
+            f"L0={l0}; need at least L0+1 frames to form a flow pair")
     img1 = frames[:, l0 - 1:-1].reshape((-1, h, w, c)) * 2 - 1
     img2 = frames[:, l0:].reshape((-1, h, w, c)) * 2 - 1
     if c == 1:
         img1 = jnp.repeat(img1, 3, axis=-1)
         img2 = jnp.repeat(img2, 3, axis=-1)
-    flow = model.apply(params, img1, img2)
+    if compute_dtype is not None:
+        cast = lambda x: x.astype(compute_dtype) if jnp.issubdtype(
+            x.dtype, jnp.floating) else x
+        img1, img2 = cast(img1), cast(img2)
+        params = jax.tree.map(cast, params)
+    flow = jax.lax.stop_gradient(
+        model.apply(params, img1, img2)).astype(frames.dtype)
     flow = flow.reshape(b, t - l0, h, w, 2)
     zeros = jnp.zeros((b, l0, h, w, 2), flow.dtype)
     return jnp.concatenate([zeros, flow], axis=1)

@@ -16,7 +16,6 @@ Batch contract (train, pre-voxelized path): events (B,T,H,W,bins),
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

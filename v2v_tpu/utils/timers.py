@@ -15,7 +15,6 @@ import atexit
 import time
 from collections import defaultdict
 from contextlib import contextmanager
-from typing import Optional
 
 import numpy as np
 

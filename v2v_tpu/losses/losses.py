@@ -7,12 +7,10 @@ per-source bookkeeping contract of calc_loss
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 
-from ..ops.warp import warp_by_flow
+from ..ops.warp import warp_by_flow, warp_by_flow_mxu
 
 Array = jax.Array
 
@@ -51,10 +49,15 @@ def temporal_consistency_loss(
     All images NHWC; flow01 (B,H,W,2) is the displacement from image1 to
     image0 in pixels.
     """
-    image0_warped = warp_by_flow(image0, flow01)
-    visibility = jnp.exp(-alpha * (image1 - image0_warped) ** 2)
     processed0 = jnp.clip(processed0, 0.0, 255.0)
-    processed0_warped = warp_by_flow(processed0, flow01)
+    # one MXU warp for both images: they share the flow, so the tent
+    # weight matrices (the dominant cost) are built and applied once
+    c0 = image0.shape[-1]
+    warped = warp_by_flow_mxu(
+        jnp.concatenate([image0, processed0], axis=-1), flow01)
+    image0_warped = warped[..., :c0]
+    processed0_warped = warped[..., c0:]
+    visibility = jnp.exp(-alpha * (image1 - image0_warped) ** 2)
     div = jnp.abs(processed1) + jnp.abs(processed0_warped) + 1e-5
     tc_map = visibility * jnp.abs(processed1 - processed0_warped) / div
     return _reduce(tc_map, reduce_batch)

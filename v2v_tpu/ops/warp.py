@@ -57,3 +57,30 @@ def warp_by_flow(img: Array, flow: Array) -> Array:
     gx = xx + flow[..., 0]
     gy = yy + flow[..., 1]
     return bilinear_sample(img, gx, gy)
+
+
+def warp_by_flow_mxu(img: Array, flow: Array) -> Array:
+    """warp_by_flow recast as two batched matmuls (no gathers).
+
+    Bilinear sampling is separable: with tent weights
+    wx[b,i,j,t] = max(0, 1 - |j + fx[b,i,j] - t|) (and wy likewise),
+
+        out[b,i,j,c] = sum_{s,t} img[b,s,t,c] * wy[b,i,j,s] * wx[b,i,j,t]
+
+    which matches grid_sample zero padding exactly (out-of-range corners
+    collect zero weight). Gathers serialize on TPU; this runs on the MXU
+    (the (H*W, W) @ (W, H) contraction is a perfect MXU shape at
+    production sizes) and its gradient is matmuls rather than scatters.
+    Redundant FLOPs (W-wide tent rows have only 2 nonzeros) are the
+    trade; profitable for H, W up to a few hundred. Memory: the
+    (B,H,W,H,C) intermediate — chunk the batch axis for large B."""
+    bsz, h, w, c = img.shape
+    dt = img.dtype
+    gx = jnp.arange(w, dtype=dt)[None, None, :] + flow[..., 0]   # (B,H,W)
+    gy = jnp.arange(h, dtype=dt)[None, :, None] + flow[..., 1]
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+        gx[..., None] - jnp.arange(w, dtype=dt)))                # (B,H,W,W)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+        gy[..., None] - jnp.arange(h, dtype=dt)))                # (B,H,W,H)
+    u = jnp.einsum("bstc,bijt->bijsc", img, wx)                  # (B,H,W,H,C)
+    return jnp.einsum("bijsc,bijs->bijc", u, wy)

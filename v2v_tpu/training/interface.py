@@ -244,18 +244,22 @@ class ModelInterface:
                 # loss at step t uses (frame[t-1], frame[t], pred[t-1],
                 # pred[t], -flow[t]) for t in [L0, T) — reference
                 # model/loss.py:166-182 negates the flow.
-                i0 = frames[:, l0 - 1:-1].reshape((-1,) + frames.shape[2:])
-                i1 = frames[:, l0:].reshape((-1,) + frames.shape[2:])
-                p0 = pred[:, l0 - 1:-1].reshape((-1,) + pred.shape[2:])
-                p1 = pred[:, l0:].reshape((-1,) + pred.shape[2:])
-                fl = batch["flow"][:, l0:]
-                fl = fl.reshape((-1,) + fl.shape[2:])
-                tc = L.temporal_consistency_loss(i0, i1, p0, p1, -fl,
-                                                 reduce_batch=False)
+                # Chunked over time (sequential map + remat): the MXU
+                # warp inside holds a (B,H,W,H,C) intermediate, so one
+                # flat (B*(T-L0)) call would not fit.
+                i0 = jnp.swapaxes(frames[:, l0 - 1:-1], 0, 1)
+                i1 = jnp.swapaxes(frames[:, l0:], 0, 1)
+                p0 = jnp.swapaxes(pred[:, l0 - 1:-1], 0, 1)
+                p1 = jnp.swapaxes(pred[:, l0:], 0, 1)
+                fl = jnp.swapaxes(batch["flow"][:, l0:], 0, 1)
+                tc_step = jax.checkpoint(
+                    lambda x: L.temporal_consistency_loss(
+                        x[0], x[1], x[2], x[3], -x[4], reduce_batch=False))
+                tc = jax.lax.map(tc_step, (i0, i1, p0, p1, fl))  # (T-L0, B)
                 # reference averages over the full T axis with zeros for
                 # t < L0 (losses tensor initialized zero,
                 # train_utils.py:392,424,432)
-                tc_sum = tc.reshape(b, t - l0).sum(axis=1) / t
+                tc_sum = tc.sum(axis=0) / t
                 terms["temporal_consistency_loss"] = (
                     cfg.temporal_consistency_weight * tc_sum)
 

@@ -140,3 +140,15 @@ def test_calc_loss_lpips_chunking_matches_direct():
                 pred[bi:bi + 1, ti], frames[bi:bi + 1, ti], True)[0])
     want /= t
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_warp_by_flow_mxu_matches_gather():
+    """The matmul warp must equal the gather warp (grid_sample
+    align_corners=True + zero padding), including far OOB flow."""
+    from v2v_tpu.ops.warp import warp_by_flow_mxu
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(3, 11, 14, 2).astype(np.float32))
+    flow = jnp.asarray((rng.rand(3, 11, 14, 2) * 40 - 20).astype(np.float32))
+    a = np.asarray(warp_by_flow(img, flow))
+    b = np.asarray(warp_by_flow_mxu(img, flow))
+    np.testing.assert_allclose(a, b, atol=1e-5)

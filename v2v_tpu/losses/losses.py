@@ -66,7 +66,7 @@ def temporal_consistency_loss(
 def warping_flow_loss(image0: Array, image1: Array, flow01: Array) -> Array:
     """Photometric warp error for self-supervised flow
     (reference utils/loss.py:72-111)."""
-    image0_warped = warp_by_flow(image0, flow01)
+    image0_warped = warp_by_flow_mxu(image0, flow01)
     return jnp.abs(image1 - image0_warped).mean()
 
 
@@ -88,7 +88,7 @@ def voxel_warping_flow_loss(voxel: Array, displacement: Array,
             ratio = (1.0 - i * increment) if reverse else i * increment
             flow = jnp.stack([disp[..., 1] * ratio, disp[..., 0] * ratio],
                              axis=-1)
-            warped = warp_by_flow(voxel[..., i:i + 1], flow)
+            warped = warp_by_flow_mxu(voxel[..., i:i + 1], flow)
             warped_sum = warped_sum + warped
         return -jnp.var(warped_sum)
 

@@ -224,9 +224,10 @@ class ModelInterface:
             # chunk over T (sequential map) and rematerialize each
             # chunk's VGG activations — one flat (B*T) pass keeps the
             # whole trunk's activations live for backward (~GBs).
-            # 2 timesteps per chunk: better MXU utilization than B=12
-            # alone, still bounded memory.
-            chunk = 2 if t % 2 == 0 else 1
+            # 8 timesteps per chunk is the measured sweet spot at B=12,
+            # 128^2 (314ms vs 410ms at 2): bigger chunks amortize the
+            # remat/map overhead, beyond ~100 images/chunk it flattens.
+            chunk = max(c for c in (8, 5, 4, 2, 1) if t % c == 0)
             lpips_step = jax.checkpoint(
                 lambda p, g: self.lpips_train._dist(
                     p, g, True, compute_dtype=self.compute_dtype))

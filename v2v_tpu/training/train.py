@@ -241,8 +241,20 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                 hyper_beta = 0.0
                 if iface.hyper_epochs > 0:
                     hyper_beta = max(0.0, 1.0 - epoch / iface.hyper_epochs)
+                # optional profiler capture: `profile_steps: [start, end)`
+                # traces those global steps of the first visited epoch
+                # into tensorboard_logs/{exp}/plugins (the jax.profiler
+                # analog of the reference CudaTimer, utils/timers.py)
+                prof = configs.get("profile_steps")
+                if prof and epoch == rel_epoch and batch_idx == prof[0]:
+                    jax.profiler.start_trace(os.path.join(
+                        root, "tensorboard_logs",
+                        configs["experiment_name"]))
                 params, opt_state, loss, aux = train_step(
                     params, opt_state, batch, step_key, hyper_beta)
+                if prof and epoch == rel_epoch and batch_idx == prof[1] - 1:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
                 n_batches += 1
                 if batch_idx % 50 == 0:
                     # finite guard — the functional analog of the

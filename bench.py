@@ -77,27 +77,28 @@ def main():
                 video, keys, params)
         return counts.reshape(B, L, BINS, H, W)
 
-    # Device-side chained loop: one dispatch, each iteration's input
-    # depends on the previous output so nothing can be deduped or
-    # pipelined away (host-side loops measure the execution relay's
-    # per-dispatch overhead, not the kernel).
+    # Device-side chained loop: one dispatch; the step index is
+    # loop-varying (different keys per iteration -> no CSE) and the
+    # carried scalar consumes each iteration's output so the while loop
+    # body cannot be elided. (Host-side loops measure the execution
+    # relay's per-dispatch overhead, not the kernel; float(acc) at the
+    # end is the only reliable sync on the relay — block_until_ready
+    # does not block there.)
     iters = 50
 
     @jax.jit
     def chained(video):
-        def body(i, carry):
-            acc, vid = carry
-            voxels = video_to_voxels(vid, i)
-            dep = voxels[0, 0, 0, 0, 0] * 1e-12
-            return acc + voxels.sum(), vid + dep
-        acc, _ = jax.lax.fori_loop(0, iters, body,
-                                   (jnp.float32(0), video))
-        return acc
+        def body(i, acc):
+            # acc*0 keeps a true data dependency (not folded: NaN*0!=0)
+            step = i + (acc * 0).astype(jnp.int32)
+            voxels = video_to_voxels(video, step)
+            return acc + voxels[0, 0, 0, 0, 0]
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    v_dev = jnp.asarray(videos, jnp.float32)
-    chained(v_dev).block_until_ready()          # compile
+    v_dev = jnp.asarray(videos)                 # uint8, as the loader ships
+    float(chained(v_dev))                       # compile + warm
     t0 = time.perf_counter()
-    chained(v_dev + 1.0).block_until_ready()
+    float(chained(v_dev))
     dt = time.perf_counter() - t0
     clips_per_sec = B * iters / dt
 

@@ -95,11 +95,17 @@ def _sim_kernel(seed_ref, pos_ref, neg_ref, noise_ref, hotfrac_ref,
         hot_ref[:] = jnp.where(
             hot_mask, hot_std * _gaussian(shape, fast_gaussian), 0.0)
 
-    first = video_ref[0, 0]
-    logprev_ref[:] = jnp.log(0.001 + (first * (1.0 / 255.0)) ** 2.2)
+    def load_frame(i):
+        f = video_ref[0, i]
+        if f.dtype == jnp.uint8:
+            # mosaic has no direct uint8->f32 cast; hop through int32
+            f = f.astype(jnp.int32)
+        return f.astype(jnp.float32)
+
+    logprev_ref[:] = jnp.log(0.001 + (load_frame(0) * (1.0 / 255.0)) ** 2.2)
 
     def body(i, _):
-        frame = video_ref[0, i]
+        frame = load_frame(i)
         log_new = jnp.log(0.001 + (frame * (1.0 / 255.0)) ** 2.2)
         pot = pot_ref[:] + (log_new - logprev_ref[:])
         if not noise_free:
@@ -128,8 +134,13 @@ def simulate_batch_pallas(
 
     The drop-in fast path for `synthesize_batch`; bin summation and GT
     frame selection stay in XLA (cheap reshapes).
+
+    uint8 video is consumed directly (converted per frame in VMEM) —
+    casting to f32 up front would quadruple the kernel's HBM read
+    traffic and add a full materialization pass.
     """
-    video = video.astype(jnp.float32)
+    if video.dtype not in (jnp.uint8, jnp.float32):
+        video = video.astype(jnp.float32)
     b, n, h, w = video.shape
     assert h % tile_h == 0, (h, tile_h)
     grid = (b, h // tile_h)

@@ -48,7 +48,6 @@ def synthesize_batch(video: Array, keys: Array, sim_cfg: SimConfig,
     On TPU with aligned shapes the fused Pallas kernel
     (ops/voxel_pallas.py) runs the simulation with per-pixel state held
     in VMEM (~2x the scan path); otherwise the jnp scan path runs."""
-    video = video.astype(jnp.float32)
     fpi = num_bins * frames_per_bin
     b = video.shape[0]
     if use_pallas is None:
@@ -60,6 +59,7 @@ def synthesize_batch(video: Array, keys: Array, sim_cfg: SimConfig,
         params = jax.vmap(lambda k: sample_sim_params(k, sim_cfg))(keys)
         seeds = jax.vmap(
             lambda k: jax.random.randint(k, (), 0, 2 ** 31 - 1))(keys)
+        # uint8 straight into the kernel (converted per frame in VMEM)
         counts = simulate_batch_pallas(video, seeds, params)
         seq_len = counts.shape[1] // fpi
         h, w = video.shape[2:4]
@@ -67,7 +67,8 @@ def synthesize_batch(video: Array, keys: Array, sim_cfg: SimConfig,
                                 h, w).sum(axis=3)
     else:
         def one(v, k):
-            voxels, _ = simulate_sequence(v, k, sim_cfg, num_bins=num_bins,
+            voxels, _ = simulate_sequence(v.astype(jnp.float32), k, sim_cfg,
+                                          num_bins=num_bins,
                                           frames_per_bin=frames_per_bin)
             return voxels                              # (L, bins, H, W)
 
@@ -75,7 +76,8 @@ def synthesize_batch(video: Array, keys: Array, sim_cfg: SimConfig,
     events = jnp.transpose(voxels, (0, 1, 3, 4, 2))    # NHWC
     seq_len = events.shape[1]
     gt_idx = (jnp.arange(seq_len) + 1) * fpi
-    gt = video[:, gt_idx] / 255.0                      # (B,L,H,W)
+    # gather the few GT frames first, cast after (video may be uint8)
+    gt = video[:, gt_idx].astype(jnp.float32) / 255.0  # (B,L,H,W)
     return events, gt[..., None]
 
 

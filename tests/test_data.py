@@ -193,3 +193,32 @@ def test_webvid_degrade_modes(webvid_root):
             "video_degrade": mode, "degrade_ratio": 1.0})
         item = ds[0]
         assert item["video"].shape == (11, 32, 32), mode
+
+
+def test_process_loader_matches_thread_loader(tmp_path):
+    """Forked-worker loader must yield identical batches in identical
+    order to the threaded loader (fixed_seed pins augmentation)."""
+    root = tmp_path / "webvid"
+    root.mkdir()
+    n = _write_video(str(root / "v0.mp4"), n=40)
+    (tmp_path / "videos.txt").write_text("v0.mp4 40\n")
+    (tmp_path / "root.txt").write_text(str(root) + "\n")
+    cfg = {"video_list_file": str(tmp_path / "videos.txt"),
+           "data_source_name": "webvid", "sequence_length": 2,
+           "crop_size": 16, "num_bins": 5, "min_resize_scale": 1,
+           "max_resize_scale": 1, "max_samples_per_shot": 8,
+           "step_size": 3, "fixed_seed": 7, "output": "video"}
+    ds = WebvidDataset(str(root), cfg)
+    assert len(ds) >= 4
+    lt = DataLoader(ds, 2, shuffle=False, drop_last=True, num_workers=2,
+                    worker_type="thread")
+    lp = DataLoader(ds, 2, shuffle=False, drop_last=True, num_workers=2,
+                    worker_type="process")
+    got_t = list(lt)
+    got_p = list(lp)
+    assert len(got_t) == len(got_p) > 0
+    for bt, bp in zip(got_t, got_p):
+        assert sorted(bt.keys()) == sorted(bp.keys())
+        for k in bt:
+            if isinstance(bt[k], np.ndarray):
+                np.testing.assert_array_equal(bt[k], bp[k])

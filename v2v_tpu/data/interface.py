@@ -69,12 +69,23 @@ def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
 
 
 class DataLoader:
-    """Threaded prefetching loader with per-host index sharding."""
+    """Prefetching loader with per-host index sharding.
+
+    worker_type:
+      * "thread" — shared-memory, safe for datasets holding open file
+        handles (h5). cv2 releases the GIL during decode but the numpy
+        crop/collate work serializes.
+      * "process" — forked workers (the torch-DataLoader model); true
+        parallelism for decode-heavy video datasets. The dataset must be
+        fork-safe (WebVid opens its VideoCapture per item; h5 datasets
+        with open handles should stay on threads).
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 4,
                  seed: int = 0, process_index: int = 0,
-                 process_count: int = 1, prefetch: int = 4):
+                 process_count: int = 1, prefetch: int = 4,
+                 worker_type: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -84,6 +95,7 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        self.worker_type = worker_type
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -110,6 +122,9 @@ class DataLoader:
         if self.num_workers <= 1:
             for bidx in batches:
                 yield collate([self.dataset[int(i)] for i in bidx])
+            return
+        if self.worker_type == "process":
+            yield from self._process_iter(batches)
             return
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -150,3 +165,63 @@ class DataLoader:
                 if isinstance(b, Exception):
                     raise b
                 yield b
+
+    def _process_iter(self, batches) -> Iterator[Dict[str, Any]]:
+        """Forked worker pool: each worker collates whole batches and
+        ships them back pickled through an mp queue; batches are
+        re-ordered on the consumer side so iteration order matches the
+        thread/serial paths exactly."""
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        nb = len(batches)
+        nw = min(self.num_workers, nb)
+        task_q = ctx.Queue()
+        out_q = ctx.Queue(maxsize=max(2, self.prefetch))
+        for pos, bidx in enumerate(batches):
+            task_q.put((pos, [int(i) for i in bidx]))
+        for _ in range(nw):
+            task_q.put(None)
+
+        dataset = self.dataset
+
+        def worker():
+            try:
+                import cv2
+                cv2.setNumThreads(1)   # one decode thread per process
+            except Exception:
+                pass
+            while True:
+                item = task_q.get()
+                if item is None:
+                    return
+                pos, bidx = item
+                try:
+                    out_q.put((pos, collate([dataset[i] for i in bidx]),
+                               None))
+                except Exception as e:
+                    import traceback
+                    out_q.put((pos, None,
+                               f"{e!r}\n{traceback.format_exc()}"))
+
+        procs = [ctx.Process(target=worker, daemon=True) for _ in range(nw)]
+        for p in procs:
+            p.start()
+        try:
+            results: Dict[int, Any] = {}
+            next_pos = 0
+            received = 0
+            while received < nb:
+                pos, batch, err = out_q.get()
+                received += 1
+                if err is not None:
+                    raise RuntimeError(f"loader worker failed: {err}")
+                results[pos] = batch
+                while next_pos in results:
+                    yield results.pop(next_pos)
+                    next_pos += 1
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=5)

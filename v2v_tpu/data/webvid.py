@@ -18,12 +18,16 @@ Two output modes:
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Dict, List
 
 import cv2
 import numpy as np
 
 from .sources import DATA_SOURCES
+
+# serializes fixed_seed items across loader threads (global np.random)
+_GLOBAL_RNG_LOCK = threading.Lock()
 
 
 def log_uniform(minval: float, maxval: float) -> float:
@@ -242,13 +246,18 @@ class WebvidDataset:
     # -- main -----------------------------------------------------------
     def __getitem__(self, sample_idx: int) -> Dict[str, Any]:
         if self.fixed_seed is not None:
-            old_state = np.random.get_state()
-            np.random.seed(self.fixed_seed + sample_idx)
-        try:
-            return self._getitem(sample_idx)
-        finally:
-            if self.fixed_seed is not None:
-                np.random.set_state(old_state)
+            # seed -> sample -> restore must be atomic: the dataset uses
+            # the global np.random (reference semantics, fork-worker
+            # model); with thread workers concurrent items would clobber
+            # the seeded state (tests/test_data.py pins this)
+            with _GLOBAL_RNG_LOCK:
+                old_state = np.random.get_state()
+                np.random.seed(self.fixed_seed + sample_idx)
+                try:
+                    return self._getitem(sample_idx)
+                finally:
+                    np.random.set_state(old_state)
+        return self._getitem(sample_idx)
 
     def _getitem(self, sample_idx: int) -> Dict[str, Any]:
         video_name = self.sample_video_name[sample_idx]

@@ -159,10 +159,16 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
         # round the global batch down to a multiple of the mesh size
         if batch_size % n_dev:
             batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
+        # `worker_type: process` opts into forked workers (the torch-
+        # DataLoader model) for decode-heavy video datasets; measured
+        # +11% on the synthetic smoke (mp4 seek dominates there). Default
+        # stays threads: fork after JAX init risks deadlock, and h5
+        # datasets hold open handles that are not fork-safe.
         train_loader = DataLoader(
             train_ds, batch_size, shuffle=True, drop_last=True,
             num_workers=ds_cfg.get("num_workers", 4),
-            process_index=process_index, process_count=process_count)
+            process_index=process_index, process_count=process_count,
+            worker_type=ds_cfg.get("worker_type", "thread"))
         val_loader = DataLoader(
             val_ds, ds_cfg.get("val_batch_size", 1), shuffle=False,
             drop_last=False, num_workers=2) if len(val_ds) else None

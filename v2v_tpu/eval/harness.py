@@ -87,6 +87,12 @@ def run_test(iface: ModelInterface, params, configs: Dict[str, Any],
     state = None
     output_img_idx = 0
     all_metrics: Dict[str, list] = defaultdict(list)
+    # host metrics (per-frame SSIM/MSE) overlap the next batch's device
+    # forward; scipy's uniform_filter releases the GIL. Results merge at
+    # the end so ordering doesn't matter (means over frames).
+    from concurrent.futures import ThreadPoolExecutor
+    metric_pool = ThreadPoolExecutor(max_workers=4)
+    metric_futures = []
 
     for batch_idx, batch in enumerate(loader):
         if max_batches is not None and batch_idx >= max_batches:
@@ -124,8 +130,8 @@ def run_test(iface: ModelInterface, params, configs: Dict[str, Any],
                 # gray-in-BGR-out (test_e2vid.py:79-82)
                 pred = (0.5870 * pred[..., 0] + 0.1140 * pred[..., 1]
                         + 0.2989 * pred[..., 2])[..., None]
-            for k, v in compute_metrics(iface, pred, batch).items():
-                all_metrics[k] += v
+            metric_futures.append(metric_pool.submit(
+                compute_metrics, iface, pred, batch))
 
         if output_dir is not None:
             import cv2
@@ -135,6 +141,11 @@ def run_test(iface: ModelInterface, params, configs: Dict[str, Any],
                     seq_dir, f"{output_img_idx:06d}.png"), img)
                 output_img_idx += 1
         prev_seq = seq_name
+
+    for fut in metric_futures:
+        for k, v in fut.result().items():
+            all_metrics[k] += v
+    metric_pool.shutdown()
 
     metric_txt = os.path.join(root, "tensorboard_logs",
                               configs["experiment_name"], "test_metrics.txt")

@@ -127,11 +127,22 @@ def _sim_kernel(seed_ref, pos_ref, neg_ref, noise_ref, hotfrac_ref,
     jax.lax.fori_loop(1, n, body, 0)
 
 
+def _auto_tile_h(h: int, w: int) -> int:
+    """Largest row-tile that divides H and keeps the output block within
+    the ~16 MB scoped-VMEM budget (double-buffered). Bigger tiles
+    amortize the per-frame loop overhead: 16->64 rows measured
+    5060->7740 clips/s at 128^2."""
+    for tile in (64, 32, 16, 8):
+        if h % tile == 0 and tile * w <= 8192:
+            return tile
+    return 8
+
+
 @functools.partial(jax.jit, static_argnames=("tile_h", "noise_free",
                                              "interpret", "fast_gaussian"))
 def simulate_batch_pallas(
     video: Array, seeds: Array, params: SimParams,
-    *, tile_h: int = 16, noise_free: bool = False,
+    *, tile_h: int = None, noise_free: bool = False,
     interpret: bool = False, fast_gaussian: bool = True,
 ) -> Array:
     """(B, N, H, W) video + (B,) int32 seeds + per-sample SimParams
@@ -147,6 +158,8 @@ def simulate_batch_pallas(
     if video.dtype not in (jnp.uint8, jnp.float32):
         video = video.astype(jnp.float32)
     b, n, h, w = video.shape
+    if tile_h is None:
+        tile_h = _auto_tile_h(h, w)
     assert h % tile_h == 0, (h, tile_h)
     grid = (b, h // tile_h)
 

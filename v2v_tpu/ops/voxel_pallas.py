@@ -121,7 +121,10 @@ def _sim_kernel(seed_ref, pos_ref, neg_ref, noise_ref, hotfrac_ref,
                            jnp.floor(-pot / neg_thres), 0.0)
         pot_ref[:] = pot - pos_ev * pos_thres + neg_ev * neg_thres
         logprev_ref[:] = log_new
-        out_ref[0, i - 1] = pos_ev - neg_ev
+        # counts are small integers (|.| <= ~140): exact in bf16, and
+        # the f32 upcast downstream restores them bit-exactly while the
+        # write traffic halves
+        out_ref[0, i - 1] = (pos_ev - neg_ev).astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(1, n, body, 0)
@@ -129,11 +132,11 @@ def _sim_kernel(seed_ref, pos_ref, neg_ref, noise_ref, hotfrac_ref,
 
 def _auto_tile_h(h: int, w: int) -> int:
     """Largest row-tile that divides H and keeps the output block within
-    the ~16 MB scoped-VMEM budget (double-buffered). Bigger tiles
-    amortize the per-frame loop overhead: 16->64 rows measured
-    5060->7740 clips/s at 128^2."""
-    for tile in (64, 32, 16, 8):
-        if h % tile == 0 and tile * w <= 8192:
+    the ~16 MB scoped-VMEM budget (double-buffered, bf16 counts).
+    Bigger tiles amortize the per-frame loop overhead: 16->64 rows
+    measured 5060->7740 clips/s at 128^2."""
+    for tile in (128, 64, 32, 16, 8):
+        if h % tile == 0 and tile * w <= 16384:
             return tile
     return 8
 
@@ -168,7 +171,7 @@ def simulate_batch_pallas(
 
     kernel = functools.partial(_sim_kernel, noise_free=noise_free,
                                fast_gaussian=fast_gaussian)
-    return pl.pallas_call(
+    counts = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[scalar_spec() for _ in range(6)]
@@ -178,7 +181,7 @@ def simulate_batch_pallas(
         out_specs=pl.BlockSpec((1, n - 1, tile_h, w),
                                lambda bi, ti: (bi, 0, ti, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n - 1, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n - 1, h, w), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((tile_h, w), jnp.float32),   # potential
             pltpu.VMEM((tile_h, w), jnp.float32),   # prev log frame
@@ -192,3 +195,6 @@ def simulate_batch_pallas(
       params.hot_pixel_fraction.astype(jnp.float32),
       params.hot_pixel_std.astype(jnp.float32),
       video)
+    # f32 API: noise-free counts (<= ~140) round-trip bf16 exactly; the
+    # upcast fuses into the caller's bin-sum under jit
+    return counts.astype(jnp.float32)

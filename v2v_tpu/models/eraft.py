@@ -34,24 +34,17 @@ def instance_norm(x: Array, eps: float = 1e-5) -> Array:
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
-class FrozenBatchNorm(nn.Module):
-    """BatchNorm with stored statistics (checkpoint-exact inference)."""
-    features: int
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.variable("batch_stats", "mean",
-                             lambda: jnp.zeros((self.features,)))
-        var = self.variable("batch_stats", "var",
-                            lambda: jnp.ones((self.features,)))
-        return (x - mean.value) * jax.lax.rsqrt(var.value + 1e-5) * scale + bias
+# Torch-exact BatchNorm (stored stats at eval; live batch statistics +
+# running-stat updates when train=True and 'batch_stats' is mutable —
+# the reference trains cnet BN live, train.py:72 / eraft.py:44).
+# `FrozenBatchNorm` name kept for training/raft.py (always-eval teacher).
+from .submodules import TorchBatchNorm as FrozenBatchNorm
 
 
-def _norm(norm_fn: str, features: int, name: str):
+def _norm(norm_fn: str, features: int, name: str, train: bool = False):
     if norm_fn == "batch":
-        return FrozenBatchNorm(features, name=name)
+        bn = FrozenBatchNorm(features, name=name)
+        return lambda x: bn(x, use_running_average=not train)
     if norm_fn == "instance":
         return lambda x: instance_norm(x)
     if norm_fn == "none":
@@ -66,20 +59,20 @@ class RaftResidualBlock(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     padding=((1, 1), (1, 1)), name="conv1")(x)
-        n1 = _norm(self.norm_fn, self.planes, "norm1")
+        n1 = _norm(self.norm_fn, self.planes, "norm1", train)
         y = nn.relu(n1(y))
         y = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
                     name="conv2")(y)
-        n2 = _norm(self.norm_fn, self.planes, "norm2")
+        n2 = _norm(self.norm_fn, self.planes, "norm2", train)
         y = nn.relu(n2(y))
         if self.stride != 1:
             x = nn.Conv(self.planes, (1, 1),
                         strides=(self.stride, self.stride),
                         name="downsample_0")(x)
-            n3 = _norm(self.norm_fn, self.planes, "norm3")
+            n3 = _norm(self.norm_fn, self.planes, "norm3", train)
             x = n3(x)
         return nn.relu(x + y)
 
@@ -91,17 +84,17 @@ class BasicEncoder(nn.Module):
     n_first_channels: int = 1
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     name="conv1")(x)
-        n1 = _norm(self.norm_fn, 64, "norm1")
+        n1 = _norm(self.norm_fn, 64, "norm1", train)
         x = nn.relu(n1(x))
         for li, (dim, stride) in enumerate([(64, 1), (96, 2), (128, 2)],
                                            start=1):
             x = RaftResidualBlock(dim, self.norm_fn, stride,
-                                  name=f"layer{li}_0")(x)
+                                  name=f"layer{li}_0")(x, train=train)
             x = RaftResidualBlock(dim, self.norm_fn, 1,
-                                  name=f"layer{li}_1")(x)
+                                  name=f"layer{li}_1")(x, train=train)
         return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
 
 
@@ -344,7 +337,7 @@ class ERAFT(nn.Module):
         pyramid = correlation_pyramid(fmap1, fmap2)
 
         cnet = BasicEncoder(hdim + cdim, "batch", self.n_first_channels,
-                            name="cnet")(img2)
+                            name="cnet")(img2, train=train)
         net, inp = jnp.split(cnet, [hdim], axis=-1)
         net = jnp.tanh(net)
         inp = nn.relu(inp)

@@ -14,9 +14,10 @@ TPU design notes:
   * `prev_recs` feedback is part of the explicit model state
     (encoder states, prev_recs) instead of a mutated attribute; the GT
     mixing curriculum beta (train_utils.py:307) enters as an argument.
-  * BatchNorms in the atom generator run with stored statistics in both
-    modes (exact for converted-checkpoint inference; training from
-    scratch treats them as affine maps).
+  * BatchNorms in the atom generator use stored statistics at eval
+    (checkpoint-exact) and live batch statistics when train=True, with
+    running stats updated through the mutable 'batch_stats' collection
+    (reference trains them live, train.py:72).
 """
 from __future__ import annotations
 
@@ -61,20 +62,10 @@ class ConvolutionalContextFusion(nn.Module):
                        name="conv")(ctx)
 
 
-class _FrozenBN(nn.Module):
-    """BatchNorm evaluated with stored statistics (see module docstring)."""
-    features: int
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.variable("batch_stats", "mean",
-                             lambda: jnp.zeros((self.features,)))
-        var = self.variable("batch_stats", "var",
-                            lambda: jnp.ones((self.features,)))
-        inv = jax.lax.rsqrt(var.value + 1e-5)
-        return (x - mean.value) * inv * scale + bias
+# Torch-exact BatchNorm: stored stats at eval, live batch statistics +
+# running-stat updates when train=True and 'batch_stats' is mutable
+# (the reference trains these BNs live via model.train(), train.py:72).
+from .submodules import TorchBatchNorm as _BN
 
 
 class DynamicAtomGeneration(nn.Module):
@@ -86,16 +77,17 @@ class DynamicAtomGeneration(nn.Module):
     hid_channels: int = 64
 
     @nn.compact
-    def __call__(self, context: Array) -> Array:
+    def __call__(self, context: Array, train: bool = False) -> Array:
         bases = jnp.asarray(fourier_bessel_bases(self.kernel_size))
         num_ms = bases.shape[0]
         x = nn.Conv(self.hid_channels, (3, 3), padding="SAME",
                     name="bases_net_0")(context)
-        x = jnp.tanh(_FrozenBN(self.hid_channels, name="bases_net_1")(x))
+        x = jnp.tanh(_BN(self.hid_channels, name="bases_net_1")(
+            x, use_running_average=not train))
         x = nn.Conv(self.num_atoms * num_ms, (3, 3), padding="SAME",
                     name="bases_net_3")(x)
-        x = jnp.tanh(_FrozenBN(self.num_atoms * num_ms,
-                               name="bases_net_4")(x))
+        x = jnp.tanh(_BN(self.num_atoms * num_ms, name="bases_net_4")(
+            x, use_running_average=not train))
         b, h, w, _ = x.shape
         coeff = x.reshape(b, h, w, self.num_atoms, num_ms)
         # (B,H,W,m,K) x (K,L) -> (B,H,W,m,L)
@@ -145,7 +137,8 @@ class DynamicUpsampleLayer(nn.Module):
     num_atoms: int = 6
 
     @nn.compact
-    def __call__(self, x: Array, ev_tensor: Array, prev_recs: Array) -> Array:
+    def __call__(self, x: Array, ev_tensor: Array, prev_recs: Array,
+                 train: bool = False) -> Array:
         b, h, w, c = x.shape
         x_up = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
         ctx = ConvolutionalContextFusion(
@@ -153,7 +146,7 @@ class DynamicUpsampleLayer(nn.Module):
                                                            prev_recs)
         atoms = DynamicAtomGeneration(
             self.kernel_size, self.num_atoms,
-            name="dynamic_atom_generation")(ctx)
+            name="dynamic_atom_generation")(ctx, train=train)
         out = DynamicConv(self.in_channels, self.out_channels,
                           self.kernel_size, self.num_atoms,
                           name="dynamic_conv")(x_up, atoms)
@@ -178,7 +171,8 @@ class _HyperDecoders(nn.Module):
                     in_sizes[0] * (2 if cfg.skip_type == "concat" else 1),
                     features, cfg.kernel_size,
                     in_fuse_channels=1 + cfg.num_bins,
-                    name="decoders_0")(skip, ev_tensor, prev_recs)
+                    name="decoders_0")(skip, ev_tensor, prev_recs,
+                                       train=train)
             else:
                 x = cfg.upsample_layer(
                     features, kernel_size=cfg.kernel_size, norm=cfg.norm,

@@ -47,6 +47,58 @@ def _pad2d(k: int) -> Sequence[Tuple[int, int]]:
     return ((p, p), (p, p))
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-exact semantics (nn.BatchNorm2d defaults).
+
+    Differences vs flax nn.BatchNorm that matter for parity with the
+    reference (which trains BN live — train.py:72 calls model.train()
+    and never freeze_bn):
+      * running_var is updated with the UNBIASED batch variance
+        (n/(n-1)), while normalization uses the biased one;
+      * momentum 0.1 in torch convention:
+        running = (1-0.1)*running + 0.1*batch;
+      * statistics are computed and stored in float32 even when the
+        activations are bf16 (torch autocast behavior).
+
+    Stats live in the 'batch_stats' collection as {mean, var}; updates
+    happen only when `use_running_average=False` AND the collection is
+    mutable in this apply (so eval/frozen paths never need mutable)."""
+    features: int
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool = True) -> Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,)))
+        if use_running_average:
+            mean = ra_mean.value.astype(jnp.float32)
+            var = ra_var.value.astype(jnp.float32)
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = xf.mean(axis=axes)
+            var = ((xf - mean) ** 2).mean(axis=axes)
+            if not self.is_initializing() and \
+                    self.is_mutable_collection("batch_stats"):
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = ((1 - m) * ra_mean.value.astype(jnp.float32)
+                                 + m * mean)
+                ra_var.value = ((1 - m) * ra_var.value.astype(jnp.float32)
+                                + m * unbiased)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(x.dtype)
+
+
 class ConvLayer(nn.Module):
     """Conv2d [+ norm] [+ activation]. Reference: model/submodules.py:7-34."""
     features: int
@@ -63,8 +115,8 @@ class ConvLayer(nn.Module):
                     padding=_pad2d(self.kernel_size), use_bias=use_bias,
                     name="conv2d")(x)
         if self.norm == "BN":
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             name="norm_layer")(x)
+            x = TorchBatchNorm(self.features, name="norm_layer")(
+                x, use_running_average=not train)
         elif self.norm == "IN":
             x = nn.GroupNorm(num_groups=None, group_size=1,
                              name="norm_layer")(x)
@@ -90,8 +142,8 @@ class UpsampleConvLayer(nn.Module):
                     padding=_pad2d(self.kernel_size), use_bias=use_bias,
                     name="conv2d")(x)
         if self.norm == "BN":
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             name="norm_layer")(x)
+            x = TorchBatchNorm(self.features, name="norm_layer")(
+                x, use_running_average=not train)
         elif self.norm == "IN":
             x = nn.GroupNorm(num_groups=None, group_size=1,
                              name="norm_layer")(x)
@@ -119,8 +171,8 @@ class TransposedConvLayer(nn.Module):
             padding=((k - 1 - p, k - 1 - p + 1), (k - 1 - p, k - 1 - p + 1)),
             transpose_kernel=True, use_bias=use_bias, name="transposed_conv2d")(x)
         if self.norm == "BN":
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             name="norm_layer")(x)
+            x = TorchBatchNorm(self.features, name="norm_layer")(
+                x, use_running_average=not train)
         elif self.norm == "IN":
             x = nn.GroupNorm(num_groups=None, group_size=1,
                              name="norm_layer")(x)
@@ -142,14 +194,16 @@ class ResidualBlock(nn.Module):
         out = nn.Conv(self.features, (3, 3), padding=_pad2d(3),
                       use_bias=use_bias, name="conv1")(x)
         if self.norm == "BN":
-            out = nn.BatchNorm(use_running_average=not train, name="bn1")(out)
+            out = TorchBatchNorm(self.features, name="bn1")(
+                out, use_running_average=not train)
         elif self.norm == "IN":
             out = nn.GroupNorm(num_groups=None, group_size=1, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), padding=_pad2d(3),
                       use_bias=use_bias, name="conv2")(out)
         if self.norm == "BN":
-            out = nn.BatchNorm(use_running_average=not train, name="bn2")(out)
+            out = TorchBatchNorm(self.features, name="bn2")(
+                out, use_running_average=not train)
         elif self.norm == "IN":
             out = nn.GroupNorm(num_groups=None, group_size=1, name="bn2")(out)
         return nn.relu(out + residual)

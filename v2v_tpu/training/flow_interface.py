@@ -28,44 +28,92 @@ class FlowModelInterface(ModelInterface):
         self.forward_type = configs.get("forward_type", "evflow")
         assert self.forward_type in ("evflow", "eraft")
 
+    def init(self, key: jax.Array, batch_size: int, height: int, width: int,
+             num_bins: int = 5):
+        if self.forward_type != "eraft":
+            return super().init(key, batch_size, height, width, num_bins)
+        # ERAFT consumes voxel pairs (it pads to x32 internally)
+        height = -(-height // 16) * 16
+        width = -(-width // 16) * 16
+        state = self.model.init_state(batch_size, height, width)
+        x = jnp.zeros((batch_size, height, width, num_bins))
+        params = self.model.init(key, x, x, state)
+        return params, state
+
     def forward_sequence(self, params, events: Array, state: Any,
-                         train: bool = False, **_) -> Tuple[Array, Any]:
+                         train: bool = False, return_updates: bool = False,
+                         **_) -> Tuple[Array, Any]:
         if self.forward_type == "eraft":
-            return self._forward_eraft(params, events, state, train)
-        return self._forward_evflow(params, events, state, train)
+            ret = self._forward_eraft(params, events, state, train)
+        else:
+            ret = self._forward_evflow(params, events, state, train)
+        return ret if return_updates else ret[:2]
 
     def _forward_evflow(self, params, events, state, train):
         events, hw = pad_to_multiple(events, 16)
+        track_bs = train and "batch_stats" in params
 
         def step(carry, voxel):
-            out, carry = self.model.apply(params, voxel, carry, train=train)
+            if track_bs:
+                carry, bs = carry
+                (out, carry), mut = self.model.apply(
+                    {**params, "batch_stats": bs}, voxel, carry,
+                    train=train, mutable=["batch_stats"])
+                carry = (carry, mut["batch_stats"])
+            else:
+                out, carry = self.model.apply(params, voxel, carry,
+                                              train=train)
             return carry, out["flow"]
 
         if train:
             step = jax.checkpoint(step)    # bound BPTT memory over T
+        if track_bs:
+            state = (state, params["batch_stats"])
         final_state, flows = jax.lax.scan(
             step, state, jnp.swapaxes(events, 0, 1))
+        updates = {}
+        if track_bs:
+            final_state, bs = final_state
+            updates["batch_stats"] = bs
         flows = jnp.swapaxes(flows, 0, 1)
-        return crop_from_multiple(flows, hw), final_state
+        return crop_from_multiple(flows, hw), final_state, updates
 
     def _forward_eraft(self, params, events, state, train):
         """ERAFT consumes voxel pairs: flow[t->t+1] from
         (events[t], events[t+1]); T_out = T_in - 1. The warm-start flow
-        carry lives in `state` (reference model/eraft/eraft.py:141-146)."""
+        carry lives in `state` (reference model/eraft/eraft.py:141-146).
+        When training, cnet BatchNorm runs with live batch statistics
+        and its running stats thread through the scan (the reference
+        trains BN live — train.py:72, no freeze_bn call)."""
         prev = jnp.swapaxes(events[:, :-1], 0, 1)
         curr = jnp.swapaxes(events[:, 1:], 0, 1)
+        track_bs = train and "batch_stats" in params
 
         def step(carry, x):
             v0, v1 = x
-            out, carry = self.model.apply(params, v0, v1, carry, train=train)
+            if track_bs:
+                carry, bs = carry
+                (out, carry), mut = self.model.apply(
+                    {**params, "batch_stats": bs}, v0, v1, carry,
+                    train=train, mutable=["batch_stats"])
+                carry = (carry, mut["batch_stats"])
+            else:
+                out, carry = self.model.apply(params, v0, v1, carry,
+                                              train=train)
             return carry, out["flow"]
 
         if train:
             # 12 GRU iterations per pair x T pairs of activations would
             # not fit; recompute per pair in the backward pass
             step = jax.checkpoint(step)
+        if track_bs:
+            state = (state, params["batch_stats"])
         final_state, flows = jax.lax.scan(step, state, (prev, curr))
-        return jnp.swapaxes(flows, 0, 1), final_state
+        updates = {}
+        if track_bs:
+            final_state, bs = final_state
+            updates["batch_stats"] = bs
+        return jnp.swapaxes(flows, 0, 1), final_state, updates
 
     def calc_loss(self, pred: Array, batch: Dict[str, Array],
                   remove_flow_loss: bool = False):

@@ -114,18 +114,30 @@ class ModelInterface:
                          gt_frames: Optional[Array] = None,
                          hyper_beta: Optional[Array] = None,
                          dropout_rng: Optional[Array] = None,
+                         return_updates: bool = False,
                          ) -> Tuple[Array, Any]:
         """events: (B,T,H,W,bins) -> pred images (B,T,H,W,pred_ch) in
-        [0,1]-ish range, plus the final recurrent state."""
+        [0,1]-ish range, plus the final recurrent state.
+
+        With `return_updates` a third element is returned: non-gradient
+        model-state updates ({} or {'batch_stats': ...}). BatchNorm
+        models normalize with live batch statistics during training and
+        update running stats through the scan (the reference trains BN
+        live — train.py:72 model.train(), no freeze_bn call)."""
         b, t, h, w, c = events.shape
         if self.normalize_voxels:
             events = normalize_batch_voxel(events)
         events, hw = pad_to_multiple(events, 16)
+        # running stats update sequentially through the scan; keep them
+        # f32 (excluded from the bf16 cast below) like torch buffers
+        track_bs = train and "batch_stats" in params
         if train and self.compute_dtype:
             dtype = jnp.dtype(self.compute_dtype)
-            params = jax.tree.map(
+            params = dict(params)
+            params["params"] = jax.tree.map(
                 lambda x: x.astype(dtype)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                params["params"])
             events = events.astype(dtype)
             if gt_frames is not None:
                 gt_frames = gt_frames.astype(dtype)
@@ -142,23 +154,35 @@ class ModelInterface:
         use_rng = train and dropout_rng is not None
 
         def step(carry, x):
+            if track_bs:
+                carry, bs = carry
             if use_rng:
                 carry, key = carry
                 key, sub = jax.random.split(key)
                 kwargs = {"rngs": {"dropout": sub}}
             else:
                 kwargs = {}
+            variables = {**params, "batch_stats": bs} if track_bs else params
+            if track_bs:
+                kwargs["mutable"] = ["batch_stats"]
             if use_hyper:
                 voxel, gt = x
-                out, new_state = self.model.apply(
-                    params, voxel, carry, train=train,
+                ret = self.model.apply(
+                    variables, voxel, carry, train=train,
                     gt_image=gt, beta=hyper_beta, **kwargs)
             else:
                 (voxel,) = x
-                out, new_state = self.model.apply(
-                    params, voxel, carry, train=train, **kwargs)
+                ret = self.model.apply(
+                    variables, voxel, carry, train=train, **kwargs)
+            if track_bs:
+                (out, new_state), mut = ret
+                bs = mut["batch_stats"]
+            else:
+                out, new_state = ret
             if use_rng:
                 new_state = (new_state, key)
+            if track_bs:
+                new_state = (new_state, bs)
             return new_state, out["image"]
 
         if train:
@@ -172,12 +196,21 @@ class ModelInterface:
                 lambda x: x.astype(jnp.dtype(self.compute_dtype)), state)
         if use_rng:
             state = (state, dropout_rng)   # after the dtype cast — keys
+        if track_bs:
+            state = (state, params["batch_stats"])
         final_state, imgs = jax.lax.scan(step, state, xs)
+        updates = {}
+        if track_bs:
+            final_state, bs_final = final_state
+            updates["batch_stats"] = bs_final
         if use_rng:
             final_state, _ = final_state
         imgs = jnp.swapaxes(imgs, 0, 1)              # (B,T,ph,pw,C)
         imgs = crop_from_multiple(imgs, hw)
-        return imgs.astype(jnp.float32), final_state
+        imgs = imgs.astype(jnp.float32)
+        if return_updates:
+            return imgs, final_state, updates
+        return imgs, final_state
 
     def forward_sequence_nernet(self, params, events_list, state):
         """NerNet raw-event path (train_utils.py:350-378): B=1, a python

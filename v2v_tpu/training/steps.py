@@ -108,19 +108,30 @@ def make_train_step(interface: ModelInterface,
         def loss_fn(p):
             if use_hyper:
                 # GT-mixing curriculum (train_utils.py:307,328-342)
-                pred, _ = interface.forward_sequence(
+                pred, _, model_upd = interface.forward_sequence(
                     p, batch["events"], state0, train=True,
                     gt_frames=batch["frame"], hyper_beta=hyper_beta,
-                    dropout_rng=drop_key)
+                    dropout_rng=drop_key, return_updates=True)
             else:
-                pred, _ = interface.forward_sequence(
+                pred, _, model_upd = interface.forward_sequence(
                     p, batch["events"], state0, train=True,
-                    dropout_rng=drop_key)
-            return interface.calc_loss(pred, batch)
+                    dropout_rng=drop_key, return_updates=True)
+            loss, aux = interface.calc_loss(pred, batch)
+            return loss, (aux, model_upd)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        ((loss, (aux, model_upd)),
+         grads) = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if model_upd:
+            # BatchNorm running stats are buffers, not parameters: the
+            # optimizer never moves them (their grads are zero under
+            # live-stat normalization); install the values accumulated
+            # through the scan (torch nn.BatchNorm2d train semantics)
+            params = dict(params)
+            params["batch_stats"] = jax.tree.map(
+                lambda new, old: jax.lax.stop_gradient(new).astype(old.dtype),
+                model_upd["batch_stats"], params["batch_stats"])
         aux["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, loss, aux
 

@@ -14,9 +14,11 @@ Usage:  timeout 560 python -u scripts/profile_train_step.py [variants...]
 """
 from __future__ import annotations
 
-import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -65,12 +67,13 @@ def build():
     return model, params, state
 
 
-def scan_loss(model, params, events, state, remat=True, unroll=1):
+def scan_loss(model, params, events, state, remat=True, unroll=1,
+              policy=None):
     def step(carry, voxel):
         out, new_state = model.apply(params, voxel, carry, train=True)
         return new_state, out["image"]
     if remat:
-        step = jax.checkpoint(step)
+        step = jax.checkpoint(step, policy=policy)
     _, imgs = jax.lax.scan(step, state, jnp.swapaxes(events, 0, 1),
                            unroll=unroll)
     gt = jnp.ones_like(imgs) * 0.5
@@ -110,6 +113,29 @@ def main(variants):
                 for a in jax.tree.leaves(g(params, ev))))
             t, _ = timed(f, events)
             res[f"scan_fwd_bwd_remat_unroll{u}"] = t
+
+    if "policy" in variants:
+        # selective remat: keep named tensors across the scan instead of
+        # recomputing them in the backward pass; report time + temp HBM
+        from jax.ad_checkpoint import checkpoint_policies as cp
+        policies = {
+            "save_gates": cp.save_only_these_names("convlstm_gates"),
+            "save_gates_convs": cp.save_only_these_names(
+                "convlstm_gates", "conv_out"),
+        }
+        for pname, pol in [("full_remat", None)] + list(policies.items()):
+            g = jax.jit(jax.grad(
+                lambda p, ev: scan_loss(model, p, ev, state, policy=pol)))
+            f = jax.jit(lambda ev: sum(
+                jnp.sum(jnp.abs(a.astype(jnp.float32)))
+                for a in jax.tree.leaves(g(params, ev))))
+            lowered = f.lower(events)
+            mem = lowered.compile().memory_analysis()
+            tmp = getattr(mem, "temp_size_in_bytes", None)
+            t, _ = timed(f, events)
+            res[f"scan_policy_{pname}"] = t
+            print(f"  policy {pname}: temp HBM = "
+                  f"{(tmp or 0) / 2**30:.2f} GiB", flush=True)
 
     if "noremat" in variants:
         tq = T // 4

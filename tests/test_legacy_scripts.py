@@ -164,3 +164,21 @@ def test_result_to_col_script(tmp_path):
     r = _run("result_to_col.py", str(csv))
     assert r.returncode == 0, r.stderr
     assert "0.01" in r.stdout
+
+
+def test_extract_images_memmap_script(tmp_path):
+    rng = np.random.RandomState(0)
+    root = tmp_path / "memmap"
+    root.mkdir()
+    n_img, h, w = 4, 12, 10
+    np.save(root / "images.npy", rng.randint(0, 255, (n_img, h, w),
+                                             dtype=np.uint8))
+    np.save(root / "timestamps.npy", np.linspace(0, 1, n_img))
+    out = tmp_path / "frames"
+    r = _run("extract_images_memmap.py", str(root), str(out))
+    assert r.returncode == 0, r.stderr
+    pngs = sorted(p for p in os.listdir(out) if p.endswith(".png"))
+    assert pngs == [f"frame_{i:010d}.png" for i in range(n_img)]
+    lines = (out / "timestamps.txt").read_text().strip().splitlines()
+    assert len(lines) == n_img
+    assert lines[0].startswith("frame_0000000000.png 0.0")

@@ -178,3 +178,28 @@ def test_train_step_esim_dataset_path():
     params, opt_state, loss, _ = step(params, opt_state, batch,
                                       jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+def test_remat_policy_variants_match_full():
+    """remat_policy changes memory/speed, never math: one step under
+    'gates' and 'convs' must reproduce the 'full' loss exactly (same
+    program modulo which tensors the backward recomputes)."""
+    losses = {}
+    for policy in ("full", "gates", "convs"):
+        cfg = dict(MODULE_CFG)
+        cfg["remat_policy"] = policy
+        iface = ModelInterface(cfg)
+        params, _ = iface.init(jax.random.PRNGKey(0), 2, 32, 32)
+        opt = Adam(lr=1e-3).make()
+        opt_state = opt.init(params)
+        step = make_train_step(iface, opt, sim_cfg=SimConfig(),
+                               donate=False)
+        params, opt_state, loss, _ = step(params, opt_state,
+                                          _video_batch(),
+                                          jax.random.PRNGKey(1))
+        params, opt_state, loss, _ = step(params, opt_state,
+                                          _video_batch(),
+                                          jax.random.PRNGKey(2))
+        losses[policy] = float(loss)
+    assert np.allclose(losses["full"], losses["gates"], rtol=1e-6)
+    assert np.allclose(losses["full"], losses["convs"], rtol=1e-6)

@@ -23,6 +23,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Array = jax.Array
 
@@ -114,6 +115,7 @@ class ConvLayer(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=_pad2d(self.kernel_size), use_bias=use_bias,
                     name="conv2d")(x)
+        x = checkpoint_name(x, "conv_out")
         if self.norm == "BN":
             x = TorchBatchNorm(self.features, name="norm_layer")(
                 x, use_running_average=not train)
@@ -141,6 +143,7 @@ class UpsampleConvLayer(nn.Module):
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                     padding=_pad2d(self.kernel_size), use_bias=use_bias,
                     name="conv2d")(x)
+        x = checkpoint_name(x, "conv_out")
         if self.norm == "BN":
             x = TorchBatchNorm(self.features, name="norm_layer")(
                 x, use_running_average=not train)
@@ -193,6 +196,7 @@ class ResidualBlock(nn.Module):
         use_bias = self.norm != "BN"
         out = nn.Conv(self.features, (3, 3), padding=_pad2d(3),
                       use_bias=use_bias, name="conv1")(x)
+        out = checkpoint_name(out, "conv_out")
         if self.norm == "BN":
             out = TorchBatchNorm(self.features, name="bn1")(
                 out, use_running_average=not train)
@@ -201,6 +205,7 @@ class ResidualBlock(nn.Module):
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), padding=_pad2d(3),
                       use_bias=use_bias, name="conv2")(out)
+        out = checkpoint_name(out, "conv_out")
         if self.norm == "BN":
             out = TorchBatchNorm(self.features, name="bn2")(
                 out, use_running_average=not train)
@@ -226,6 +231,10 @@ class ConvLSTM(nn.Module):
         gates = nn.Conv(4 * self.hidden_size,
                         (self.kernel_size, self.kernel_size),
                         padding=_pad2d(self.kernel_size), name="Gates")(stacked)
+        # the gate conv is ~45% of an E2VID forward's FLOPs; naming it
+        # lets BPTT remat policies keep it instead of recomputing
+        # (training/interface.py remat_policy="gates")
+        gates = checkpoint_name(gates, "convlstm_gates")
         in_gate, remember_gate, out_gate, cell_gate = jnp.split(gates, 4, axis=-1)
         in_gate = nn.sigmoid(in_gate)
         remember_gate = nn.sigmoid(remember_gate)

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..losses import losses as L
 from ..ops.pad import crop_from_multiple, pad_to_multiple
-from .interface import ModelInterface
+from .interface import ModelInterface, _remat_policy
 
 Array = jax.Array
 
@@ -66,7 +66,8 @@ class FlowModelInterface(ModelInterface):
             return carry, out["flow"]
 
         if train:
-            step = jax.checkpoint(step)    # bound BPTT memory over T
+            step = jax.checkpoint(         # bound BPTT memory over T
+                step, policy=_remat_policy(self.remat_policy))
         if track_bs:
             state = (state, params["batch_stats"])
         final_state, flows = jax.lax.scan(
@@ -105,7 +106,8 @@ class FlowModelInterface(ModelInterface):
         if train:
             # 12 GRU iterations per pair x T pairs of activations would
             # not fit; recompute per pair in the backward pass
-            step = jax.checkpoint(step)
+            step = jax.checkpoint(step,
+                                  policy=_remat_policy(self.remat_policy))
         if track_bs:
             state = (state, params["batch_stats"])
         final_state, flows = jax.lax.scan(step, state, (prev, curr))

@@ -31,6 +31,18 @@ from ..ops.pad import crop_from_multiple, pad_to_multiple
 Array = jax.Array
 
 
+def _remat_policy(name: str):
+    """Map the remat_policy config string to a jax.checkpoint policy."""
+    from jax.ad_checkpoint import checkpoint_policies as cp
+    if name in (None, "full"):
+        return None
+    if name == "gates":
+        return cp.save_only_these_names("convlstm_gates")
+    if name == "convs":
+        return cp.save_only_these_names("convlstm_gates", "conv_out")
+    raise ValueError(f"unknown remat_policy {name!r}")
+
+
 class LossConfig(NamedTuple):
     """The `module.loss` config block (train_utils.py:250-279)."""
     lpips_weight: float = 0.0
@@ -68,6 +80,16 @@ class ModelInterface:
         # cast per step, master params and the loss stay f32) — MXU-
         # friendly mixed precision; None = f32 throughout
         self.compute_dtype = configs.get("compute_dtype", None)
+        # BPTT rematerialization policy for the T-scan:
+        #   'full'  (default) recompute all per-step activations in the
+        #           backward pass — smallest memory (4.1 GiB temp at the
+        #           flagship shape), 478 ms scan fwd+bwd;
+        #   'gates' additionally keep the ConvLSTM gate convs (6.2 GiB,
+        #           ~same speed — kept for bigger-HBM parts);
+        #   'convs' keep every conv output (11.6 GiB, 435 ms, -9%) —
+        #           only fits chips with headroom beyond 16 GB once
+        #           LPIPS/TC/simulator memory is added.
+        self.remat_policy = configs.get("remat_policy", "full")
         self.pred_channels = configs.get("pred_channels", 1)
         self.is_nernet = configs.get("is_nernet", False)
         self._lpips_train: Optional[LPIPS] = None
@@ -189,8 +211,10 @@ class ModelInterface:
             # BPTT through T=40 recurrent UNet steps stores every
             # activation (~39 GB at the reference training shape, vs
             # 16 GB HBM). Rematerialize: keep only the carried states
-            # per step, recompute activations in the backward pass.
-            step = jax.checkpoint(step)
+            # per step, recompute activations in the backward pass
+            # (optionally keeping named conv outputs — see remat_policy).
+            step = jax.checkpoint(step, policy=_remat_policy(
+                self.remat_policy))
         if train and self.compute_dtype:
             state = jax.tree.map(
                 lambda x: x.astype(jnp.dtype(self.compute_dtype)), state)

@@ -1,5 +1,6 @@
 """Tests for losses, warp, normalization, padding, and metrics."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -152,3 +153,39 @@ def test_warp_by_flow_mxu_matches_gather():
     a = np.asarray(warp_by_flow(img, flow))
     b = np.asarray(warp_by_flow_mxu(img, flow))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_lpips_feature_split_matches_joint():
+    """features() + dist_from_features() == __call__ (the train loss
+    precomputes GT features outside the remat region this way)."""
+    from v2v_tpu.losses.lpips import LPIPS
+    lp = LPIPS("alex")
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)
+    b = jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)
+    joint = np.asarray(lp._dist(a, b, True))
+    split = np.asarray(lp._dist_from_feats(lp._features(a, True),
+                                           lp._features(b, True)))
+    np.testing.assert_allclose(joint, split, atol=1e-6)
+
+
+def test_calc_loss_lpips_matches_per_frame():
+    from v2v_tpu.training.interface import ModelInterface
+    cfg = {"loss": {"lpips_weight": 1.0, "lpips_type": "alex"},
+           "model": {"target": "model.model.E2VIDRecurrent",
+                     "params": {"unet_kwargs": {
+                         "num_bins": 5, "base_num_channels": 4,
+                         "num_encoders": 2, "num_residual_blocks": 1,
+                         "kernel_size": 3}}}}
+    iface = ModelInterface(cfg)
+    rng = np.random.RandomState(1)
+    pred = jnp.asarray(rng.rand(2, 4, 64, 64, 1), jnp.float32)
+    batch = {"frame": jnp.asarray(rng.rand(2, 4, 64, 64, 1), jnp.float32)}
+    _, aux = iface.calc_loss(pred, batch)
+    lp = iface.lpips_train
+    ref = np.stack([np.asarray(lp._dist(pred[:, ti], batch["frame"][:, ti],
+                                        True)) for ti in range(4)], 1).mean(1)
+    np.testing.assert_allclose(np.asarray(aux["perceptual_loss"]), ref,
+                               atol=1e-5)
+    g = jax.grad(lambda p: iface.calc_loss(p, batch)[0])(pred)
+    assert float(jnp.abs(g).sum()) > 0

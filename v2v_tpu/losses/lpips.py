@@ -98,28 +98,48 @@ def _unit_normalize(x: Array, eps: float = 1e-10) -> Array:
     return x / (norm + eps)
 
 
+# tapped-layer channel counts (static, per net) for the lin params
+_TAP_CHANNELS = {"alex": [64, 192, 384, 256, 256],
+                 "vgg": [64, 128, 256, 512, 512]}
+
+
 class LPIPSModule(nn.Module):
     """dist(in0, in1) per batch element. Inputs NHWC, 3 channels,
-    range [-1, 1] (use normalize=True wrapper for [0, 1] inputs)."""
+    range [-1, 1] (use normalize=True wrapper for [0, 1] inputs).
+
+    `features` / `dist_from_features` split the computation so callers
+    can precompute one side's (unit-normalized) features outside a
+    gradient/remat region — the training loss does this for the GT
+    branch, which has no parameters upstream and would otherwise be
+    recomputed in every remat chunk's backward pass."""
     net: str = "alex"
 
-    @nn.compact
-    def __call__(self, in0: Array, in1: Array) -> Array:
-        shift = jnp.asarray(_SHIFT)
-        scale = jnp.asarray(_SCALE)
-        trunk = (_AlexFeatures(name="features") if self.net == "alex"
-                 else _VGGFeatures(name="features"))
-        f0 = trunk((in0 - shift) / scale)
-        f1 = trunk((in1 - shift) / scale)
+    def setup(self):
+        self.trunk = (_AlexFeatures(name="features") if self.net == "alex"
+                      else _VGGFeatures(name="features"))
+        self.lins = [
+            self.param(f"lin{i}", nn.initializers.ones, (ch,))
+            for i, ch in enumerate(_TAP_CHANNELS[self.net])]
+
+    def features(self, x: Array) -> List[Array]:
+        """Unit-normalized tap activations of the scaled trunk."""
+        shift = jnp.asarray(_SHIFT, x.dtype)
+        scale = jnp.asarray(_SCALE, x.dtype)
+        return [_unit_normalize(f) for f in self.trunk((x - shift) / scale)]
+
+    def dist_from_features(self, f0: List[Array], f1: List[Array]) -> Array:
         total = 0.0
-        for i, (a, b) in enumerate(zip(f0, f1)):
-            diff = (_unit_normalize(a) - _unit_normalize(b)) ** 2
-            lin = self.param(f"lin{i}", nn.initializers.ones, (a.shape[-1],))
+        for lin, a, b in zip(self.lins, f0, f1):
+            diff = (a - b) ** 2
             # 1x1 conv with non-negative weights == channel dot; the
             # reference applies abs at load (weights are stored >= 0).
             val = (diff * jax.nn.relu(lin)).sum(axis=-1)   # (B,H,W)
             total = total + val.mean(axis=(1, 2))          # spatial average
         return total                                        # (B,)
+
+    def __call__(self, in0: Array, in1: Array) -> Array:
+        return self.dist_from_features(self.features(in0),
+                                       self.features(in1))
 
 
 def _load_lin_weights(net: str) -> Dict[str, np.ndarray]:
@@ -183,31 +203,50 @@ class LPIPS:
         self.params = jax.tree.map(jnp.asarray, params)
         self._jitted = jax.jit(self._dist, static_argnums=(2, 3))
 
-    def _dist(self, in0: Array, in1: Array, normalize: bool,
-              compute_dtype=None) -> Array:
+    def _prep(self, x: Array, normalize: bool, compute_dtype=None) -> Array:
         if normalize:   # [0,1] -> [-1,1] (reference PerceptualLoss norm)
-            in0 = 2.0 * in0 - 1.0
-            in1 = 2.0 * in1 - 1.0
-        if in0.shape[-1] == 1:
-            in0 = jnp.repeat(in0, 3, axis=-1)
-            in1 = jnp.repeat(in1, 3, axis=-1)
+            x = 2.0 * x - 1.0
+        if x.shape[-1] == 1:
+            x = jnp.repeat(x, 3, axis=-1)
         # small-input guard: AlexNet's pools need >= ~64px (tiny inputs
         # produce empty feature maps -> nan); upsample, off the
         # reference's benchmark path (all test sets are >= 180p)
-        b, h, w, c = in0.shape
+        b, h, w, c = x.shape
         if h < 64 or w < 64:
-            shape = (b, max(h, 64), max(w, 64), c)
-            in0 = jax.image.resize(in0, shape, "bilinear")
-            in1 = jax.image.resize(in1, shape, "bilinear")
-        params = self.params
+            x = jax.image.resize(x, (b, max(h, 64), max(w, 64), c),
+                                 "bilinear")
         if compute_dtype is not None:
-            dt = jnp.dtype(compute_dtype)
-            params = jax.tree.map(
-                lambda x: x.astype(dt)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
-            in0 = in0.astype(dt)
-            in1 = in1.astype(dt)
-        return self.module.apply(params, in0, in1).astype(jnp.float32)
+            x = x.astype(jnp.dtype(compute_dtype))
+        return x
+
+    def _params(self, compute_dtype=None):
+        if compute_dtype is None:
+            return self.params
+        dt = jnp.dtype(compute_dtype)
+        return jax.tree.map(
+            lambda x: x.astype(dt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, self.params)
+
+    def _dist(self, in0: Array, in1: Array, normalize: bool,
+              compute_dtype=None) -> Array:
+        in0 = self._prep(in0, normalize, compute_dtype)
+        in1 = self._prep(in1, normalize, compute_dtype)
+        return self.module.apply(self._params(compute_dtype), in0,
+                                 in1).astype(jnp.float32)
+
+    def _features(self, x: Array, normalize: bool,
+                  compute_dtype=None) -> List[Array]:
+        """Unit-normalized tap features of prepared input (see
+        LPIPSModule.features); pair with _dist_from_feats."""
+        x = self._prep(x, normalize, compute_dtype)
+        return self.module.apply(self._params(compute_dtype), x,
+                                 method=LPIPSModule.features)
+
+    def _dist_from_feats(self, f0: List[Array], f1: List[Array],
+                         compute_dtype=None) -> Array:
+        return self.module.apply(
+            self._params(compute_dtype), f0, f1,
+            method=LPIPSModule.dist_from_features).astype(jnp.float32)
 
     def __call__(self, in0: Array, in1: Array, normalize: bool = True) -> Array:
         return self._jitted(in0, in1, normalize)

@@ -285,14 +285,27 @@ class ModelInterface:
             # 128^2 (314ms vs 410ms at 2): bigger chunks amortize the
             # remat/map overhead, beyond ~100 images/chunk it flattens.
             chunk = max(c for c in (8, 5, 4, 2, 1) if t % c == 0)
-            lpips_step = jax.checkpoint(
-                lambda p, g: self.lpips_train._dist(
-                    p, g, True, compute_dtype=self.compute_dtype))
+            lp = self.lpips_train
             pt = jnp.swapaxes(pred, 0, 1).reshape(
                 (t // chunk, chunk * b) + pred.shape[2:])
             gt = jnp.swapaxes(frames, 0, 1).reshape(
                 (t // chunk, chunk * b) + frames.shape[2:])
-            d = jax.lax.map(lambda pg: lpips_step(*pg), (pt, gt))
+            # The GT branch has no parameters upstream: compute its
+            # unit-normalized trunk features ONCE outside the remat
+            # region (a chunked forward-only map, ~1 GB of taps at the
+            # flagship shape) instead of re-running the GT trunk in
+            # every chunk's backward pass — one full VGG pass saved.
+            gt_feats = jax.lax.map(
+                lambda g: tuple(jax.lax.stop_gradient(f) for f in
+                                lp._features(
+                                    g, True,
+                                    compute_dtype=self.compute_dtype)), gt)
+            lpips_step = jax.checkpoint(
+                lambda p, gf: lp._dist_from_feats(
+                    lp._features(p, True, compute_dtype=self.compute_dtype),
+                    list(gf), compute_dtype=self.compute_dtype))
+            d = jax.lax.map(lambda pg: lpips_step(pg[0], pg[1]),
+                            (pt, gt_feats))
             # (T/chunk, chunk*B) -> (B,) means; grouping is (t, b) order
             d = d.reshape(t, b).T
             terms["perceptual_loss"] = (cfg.lpips_weight * d.mean(axis=1))

@@ -112,6 +112,14 @@ def train_config(name, model, loss, stages, **top):
                        "test": test_blocks(False)},
     }
     cfg.update(top)
+    # compute_dtype is a v2v_tpu extension over the reference schema:
+    # bf16 recurrent forward/backward (master params, BN stats and the
+    # loss stay f32) — the MXU-native mixed precision the measured step
+    # times assume. Delete the key for exact-f32 training like the
+    # reference. Flow-task training (FlowModelInterface) runs f32; the
+    # key is not emitted there.
+    if cfg.get("task", "e2vid") == "e2vid":
+        cfg["module"]["compute_dtype"] = "bfloat16"
     return cfg
 
 

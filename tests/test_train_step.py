@@ -203,3 +203,45 @@ def test_remat_policy_variants_match_full():
         losses[policy] = float(loss)
     assert np.allclose(losses["full"], losses["gates"], rtol=1e-6)
     assert np.allclose(losses["full"], losses["convs"], rtol=1e-6)
+
+
+def test_bf16_train_grads_trace_for_all_families():
+    """compute_dtype=bfloat16 is shipped in the e2vid-task train configs;
+    tracing the grad (eval_shape — no compile) catches dtype mismatches
+    like the HyperE2VID DynamicConv f32-einsum/bf16-kernel clash."""
+    families = {
+        "e2vid": ({"target": "model.model.E2VIDRecurrent",
+                   "params": {"unet_kwargs": {
+                       "num_bins": 5, "base_num_channels": 4,
+                       "num_encoders": 3, "num_residual_blocks": 1}}}, {}),
+        "eitr": ({"target": "model.eitr.eitr.EITR",
+                  "params": {"eitr_kwargs": {"num_bins": 5,
+                                             "norm": "none"}}}, {}),
+        "hyper": ({"target": "model.hyper_model.HyperE2VID",
+                   "params": {"unet_kwargs": {
+                       "num_bins": 5, "base_num_channels": 4,
+                       "num_encoders": 3, "num_residual_blocks": 1}}},
+                  {"hyper_epochs": 4}),
+    }
+    for name, (model_cfg, extra) in families.items():
+        cfg = {"loss": {"l1_weight": 1.0}, "compute_dtype": "bfloat16",
+               "model": model_cfg}
+        cfg.update(extra)
+        iface = ModelInterface(cfg)
+        b, t, h, w = 1, 2, 32, 32
+        params, _ = iface.init(jax.random.PRNGKey(0), b, h, w)
+        events = jnp.zeros((b, t, h, w, 5))
+        frames = jnp.zeros((b, t, h, w, 1))
+        state0 = iface.init_state(b, h, w)
+
+        def loss_fn(p):
+            kwargs = {}
+            if iface.hyper_epochs:
+                kwargs = {"gt_frames": frames, "hyper_beta": jnp.float32(0.5)}
+            pred, _ = iface.forward_sequence(p, events, state0, train=True,
+                                             dropout_rng=jax.random.PRNGKey(1),
+                                             **kwargs)
+            return iface.calc_loss(pred, {"frame": frames})[0]
+
+        out = jax.eval_shape(jax.grad(loss_fn), params)  # trace only
+        assert jax.tree.structure(out) == jax.tree.structure(params), name

@@ -115,7 +115,9 @@ class DynamicConv(nn.Module):
             axis=-1)                                   # (B,H,W,C,k*k)
         inter = jnp.einsum("bhwml,bhwcl->bhwcm", atoms, patches,
                            preferred_element_type=jnp.float32)
-        inter = inter.reshape(b, h, w, c * self.num_atoms)
+        # back to the compute dtype after the f32-accumulated einsum
+        # (under bf16 training the composition conv kernel is bf16)
+        inter = inter.reshape(b, h, w, c * self.num_atoms).astype(x.dtype)
         kernel = self.param(
             "compositional_coefficients",
             nn.initializers.kaiming_normal(),

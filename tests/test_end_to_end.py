@@ -120,3 +120,40 @@ def test_train_resume_and_eval(workspace):
     # image dump
     dump_dir = os.path.join(root, "results", "smoke_e2e", "HQF", "testseq")
     assert len(os.listdir(dump_dir)) == 6
+
+
+def test_flow_task_train_end_to_end(workspace):
+    """Flow-task training through the full driver: WebVid video mode ->
+    device synthesis with the extra GT frame -> pseudo-GT flow (zeros
+    teacher here) -> EVFlowNet scan -> optimizer -> checkpoint. The
+    reference path is train.py + FlowModelInterface
+    (train_flow_utils.py:304-430)."""
+    from v2v_tpu.training.train import main as train_main
+    from v2v_tpu.training.checkpoint import all_ckpt_paths
+
+    tmp_path, webvid_root_file, video_list, h5_list = workspace
+    cfg = make_config(tmp_path, webvid_root_file, video_list, h5_list)
+    cfg["experiment_name"] = "smoke_flow"
+    cfg["task"] = "flow"
+    cfg["module"] = {
+        "loss": {"l1_weight": 1.0, "optical_flow_source": "zeros"},
+        "normalize_voxels": False,
+        "forward_type": "evflow",
+        "model": {"target": "model.model.EVFlowNet",
+                  "params": {"unet_kwargs": {
+                      "num_bins": 5, "num_encoders": 2,
+                      "base_num_channels": 4, "num_residual_blocks": 1,
+                      "kernel_size": 3, "skip_type": "concat",
+                      "num_output_channels": 2}}},
+    }
+    train_block = cfg["train_stages"][0]["dataset"]["train"][0]
+    train_block["output_additional_frame"] = True
+    cfg["train_stages"][0]["max_epochs"] = 1
+    cfg["train_stages"][0]["dataset"]["val"] = []
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "ckpt_paths"), exist_ok=True)
+    out = train_main(cfg, max_batches_per_epoch=2, root=root)
+    assert out["epoch"] == 1
+    paths = all_ckpt_paths("smoke_flow", root)
+    assert len(paths) == 1

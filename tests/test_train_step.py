@@ -245,3 +245,92 @@ def test_bf16_train_grads_trace_for_all_families():
 
         out = jax.eval_shape(jax.grad(loss_fn), params)  # trace only
         assert jax.tree.structure(out) == jax.tree.structure(params), name
+
+
+def test_synthesize_batch_flow_variants_and_fixed_thresholds():
+    """Flow-task synthesis semantics (dataset voxel-path parity,
+    data/webvid.py:348-365): extra_evs only shifts which GT frames are
+    picked (the simulator always consumes the whole video), extra_frame
+    yields T+1 frames at i*fpi, and fixed per-video thresholds override
+    the sampled ones."""
+    L, bins = 2, 5
+    fpi = bins
+    b, h, w = 1, 16, 16
+    n = (L + 1) * fpi + 1            # eraft-style video: one extra group
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(np.cumsum(rng.randint(0, 20, (b, n, h, w)), axis=1)
+                        .clip(0, 255).astype(np.uint8))
+    cfg = SimConfig(base_noise_std_range=(0.0, 0.0),
+                    hot_pixel_fraction_range=(0.0, 0.0),
+                    hot_pixel_std_range=(0.0, 0.0))
+    keys = jax.random.split(jax.random.PRNGKey(3), b)
+
+    ev_plain, gt_plain = synthesize_batch(video, keys, cfg, bins, 1)
+    ev_flow, gt_flow = synthesize_batch(video, keys, cfg, bins, 1,
+                                        extra_frame=True, extra_evs=True)
+    # events identical — the flags only change GT frame indexing
+    assert ev_plain.shape == (b, L + 1, h, w, bins)
+    np.testing.assert_array_equal(np.asarray(ev_plain), np.asarray(ev_flow))
+    # eraft frames: T+1 at fpi + i*fpi (T = L groups after the extra)
+    assert gt_flow.shape == (b, L + 1, h, w, 1)
+    for i in range(L + 1):
+        np.testing.assert_allclose(
+            np.asarray(gt_flow[:, i, ..., 0]),
+            np.asarray(video[:, fpi + i * fpi]).astype(np.float32) / 255.0)
+    # default frames: L+1 groups -> frames at (i+1)*fpi
+    for i in range(L + 1):
+        np.testing.assert_allclose(
+            np.asarray(gt_plain[:, i, ..., 0]),
+            np.asarray(video[:, (i + 1) * fpi]).astype(np.float32) / 255.0)
+    # evflow: extra frame only
+    n2 = L * fpi + 1
+    video2 = video[:, :n2]
+    ev2, gt2 = synthesize_batch(video2, keys, cfg, bins, 1,
+                                extra_frame=True)
+    assert ev2.shape == (b, L, h, w, bins)
+    assert gt2.shape == (b, L + 1, h, w, 1)
+    np.testing.assert_allclose(np.asarray(gt2[:, 0, ..., 0]),
+                               np.asarray(video2[:, 0]).astype(np.float32)
+                               / 255.0)
+    # fixed thresholds: impossibly high -> zero events
+    big = jnp.full((b,), 1e6, jnp.float32)
+    ev_fixed, _ = synthesize_batch(video, keys, cfg, bins, 1,
+                                   fixed_pos=big, fixed_neg=big)
+    assert float(jnp.abs(ev_fixed).sum()) == 0.0
+    assert float(jnp.abs(ev_plain).sum()) > 0.0
+
+
+def test_eraft_video_mode_train_traces():
+    """ERAFT training from raw video (sim + extra leading event group +
+    zeros pseudo-GT): trace the grad (eval_shape, no compile) to pin
+    shapes end-to-end."""
+    from v2v_tpu.training.flow_interface import FlowModelInterface
+    cfg = {
+        "loss": {"l1_weight": 1.0, "optical_flow_source": "zeros"},
+        "forward_type": "eraft",
+        "model": {"target": "model.eraft.eraft.ERAFT",
+                  "params": {"config": {"subtype": "warm_start"},
+                             "n_first_channels": 5, "iters": 2}},
+    }
+    iface = FlowModelInterface(cfg)
+    b, L, bins, h, w = 1, 2, 5, 32, 32
+    n = (L + 1) * bins + 1                    # one extra leading group
+    params, _ = iface.init(jax.random.PRNGKey(0), b, h, w)
+    video = jnp.zeros((b, n, h, w), jnp.uint8)
+    keys = jax.random.split(jax.random.PRNGKey(1), b)
+
+    def loss_fn(p):
+        events, gt = synthesize_batch(video, keys, SimConfig(), bins, 1,
+                                      extra_frame=True, extra_evs=True)
+        batch = iface.prepare_flow({"events": events, "frame": gt})
+        assert batch["events"].shape == (b, L + 1, h, w, bins)
+        assert batch["frame"].shape == (b, L + 1, h, w, 1)
+        assert batch["flow"].shape == (b, L, h, w, 2)
+        state0 = iface.init_state(b, h, w)
+        pred, _, _ = iface.forward_sequence(p, batch["events"], state0,
+                                            train=True, return_updates=True)
+        assert pred.shape == (b, L, h, w, 2)   # pairs -> T_out = groups-1
+        return iface.calc_loss(pred, batch)[0]
+
+    out = jax.eval_shape(jax.grad(loss_fn), params)
+    assert jax.tree.structure(out) == jax.tree.structure(params)

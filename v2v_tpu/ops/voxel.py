@@ -144,11 +144,18 @@ class SimConfig(NamedTuple):
     scale_noise_strength: bool = False
 
 
-def sample_sim_params(key: jax.Array, cfg: SimConfig) -> SimParams:
+def sample_sim_params(key: jax.Array, cfg: SimConfig,
+                      fixed_pos: Optional[jax.Array] = None,
+                      fixed_neg: Optional[jax.Array] = None) -> SimParams:
     """Draw per-sample emulator parameters.
     Semantics of data/v2v_datasets.py:368-386: theta1 ~ U(range),
     gap ~ U(1, max_gap), random pos/neg assignment, noise stds ~ U(range),
-    optional scaling of noise by pos_thres."""
+    optional scaling of noise by pos_thres.
+
+    `fixed_pos`/`fixed_neg` pin the thresholds (the fixed-threshold
+    ablation stamps them per video, scripts/generate_random_thresholds);
+    noise is still sampled — and scaled by the FIXED pos threshold when
+    scale_noise_strength, matching the reference's order."""
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     lo, hi = cfg.threshold_range
     thres_1 = jax.random.uniform(k1, minval=lo, maxval=hi)
@@ -157,6 +164,10 @@ def sample_sim_params(key: jax.Array, cfg: SimConfig) -> SimParams:
     swap = jax.random.uniform(k3) > 0.5
     pos_thres = jnp.where(swap, thres_1, thres_2)
     neg_thres = jnp.where(swap, thres_2, thres_1)
+    if fixed_pos is not None:
+        pos_thres = jnp.asarray(fixed_pos, jnp.float32)
+    if fixed_neg is not None:
+        neg_thres = jnp.asarray(fixed_neg, jnp.float32)
 
     base_noise_std = jax.random.uniform(
         k4, minval=cfg.base_noise_std_range[0], maxval=cfg.base_noise_std_range[1])

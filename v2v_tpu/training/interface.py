@@ -52,6 +52,7 @@ class LossConfig(NamedTuple):
     temporal_consistency_weight: float = 0.0
     temporal_consistency_L0: int = 1
     optical_flow_source: str = "gt"   # gt | zeros | raft_small | raft_large
+    raft_num_flow_updates: int = 12
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "LossConfig":
@@ -360,7 +361,8 @@ class ModelInterface:
         from .raft import raft_flow  # lazy; needs converted weights
         batch = dict(batch)
         batch["flow"] = raft_flow(cfg.optical_flow_source, batch["frame"],
-                                  cfg.temporal_consistency_L0)
+                                  cfg.temporal_consistency_L0,
+                                  num_flow_updates=cfg.raft_num_flow_updates)
         return batch
 
 

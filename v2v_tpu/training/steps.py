@@ -39,11 +39,25 @@ def _pallas_ok(video: Array, sim_cfg: SimConfig) -> bool:
 
 def synthesize_batch(video: Array, keys: Array, sim_cfg: SimConfig,
                      num_bins: int, frames_per_bin: int,
-                     use_pallas: Optional[bool] = None
+                     use_pallas: Optional[bool] = None,
+                     extra_frame: bool = False, extra_evs: bool = False,
+                     fixed_pos: Optional[Array] = None,
+                     fixed_neg: Optional[Array] = None,
                      ) -> Tuple[Array, Array]:
-    """(B,N,H,W) video + (B,2) keys -> events (B,L,H,W,bins) NHWC and GT
-    frames (B,L,H,W,1) in [0,1] (frame i is video[(i+1)*frames_per_img],
-    reference data/v2v_datasets.py:329-333).
+    """(B,N,H,W) video + (B,2) keys -> events (B,G,H,W,bins) NHWC and GT
+    frames (B,F,H,W,1) in [0,1].
+
+    Default (reconstruction): G = F = L, frame i is
+    video[(i+1)*frames_per_img] (reference data/v2v_datasets.py:329-333).
+    Flow-task variants mirror the dataset's voxel path
+    (data/webvid.py output='voxel' / v2v_datasets.py:290-345):
+      * extra_frame: F = L+1 GT frames at i*frames_per_img — flow GT
+        pairs (frame[t], frame[t+1]);
+      * extra_evs (ERAFT): the video carries frames_per_img extra
+        LEADING frames; G = L+1 event groups, frames offset by
+        frames_per_img.
+    `fixed_pos`/`fixed_neg` (B,) pin per-video thresholds (the
+    fixed-threshold ablation).
 
     On TPU with aligned shapes the fused Pallas kernel
     (ops/voxel_pallas.py) runs the simulation with per-pixel state held
@@ -53,31 +67,55 @@ def synthesize_batch(video: Array, keys: Array, sim_cfg: SimConfig,
     if use_pallas is None:
         use_pallas = _pallas_ok(video, sim_cfg)
 
+    from ..ops.voxel import sample_sim_params
+
     if use_pallas:
-        from ..ops.voxel import sample_sim_params
         from ..ops.voxel_pallas import simulate_batch_pallas
-        params = jax.vmap(lambda k: sample_sim_params(k, sim_cfg))(keys)
+        if fixed_pos is None:
+            params = jax.vmap(
+                lambda k: sample_sim_params(k, sim_cfg))(keys)
+        else:
+            params = jax.vmap(
+                lambda k, fp, fn: sample_sim_params(
+                    k, sim_cfg, fixed_pos=fp, fixed_neg=fn))(
+                keys, fixed_pos, fixed_neg)
         seeds = jax.vmap(
             lambda k: jax.random.randint(k, (), 0, 2 ** 31 - 1))(keys)
         # uint8 straight into the kernel (converted per frame in VMEM)
         counts = simulate_batch_pallas(video, seeds, params)
-        seq_len = counts.shape[1] // fpi
+        groups = counts.shape[1] // fpi
         h, w = video.shape[2:4]
-        voxels = counts.reshape(b, seq_len, num_bins, frames_per_bin,
+        voxels = counts.reshape(b, groups, num_bins, frames_per_bin,
                                 h, w).sum(axis=3)
     else:
-        def one(v, k):
+        def one(v, k, fp=None, fn=None):
+            fixed = None
+            if fp is not None:
+                # same param-key split as simulate_sequence's own path,
+                # thresholds pinned
+                kp, _ = jax.random.split(k)
+                fixed = sample_sim_params(kp, sim_cfg, fixed_pos=fp,
+                                          fixed_neg=fn)
             voxels, _ = simulate_sequence(v.astype(jnp.float32), k, sim_cfg,
                                           num_bins=num_bins,
-                                          frames_per_bin=frames_per_bin)
-            return voxels                              # (L, bins, H, W)
+                                          frames_per_bin=frames_per_bin,
+                                          fixed_params=fixed)
+            return voxels                              # (G, bins, H, W)
 
-        voxels = jax.vmap(one)(video, keys)            # (B,L,bins,H,W)
+        if fixed_pos is None:
+            voxels = jax.vmap(one)(video, keys)        # (B,G,bins,H,W)
+        else:
+            voxels = jax.vmap(one)(video, keys, fixed_pos, fixed_neg)
     events = jnp.transpose(voxels, (0, 1, 3, 4, 2))    # NHWC
-    seq_len = events.shape[1]
-    gt_idx = (jnp.arange(seq_len) + 1) * fpi
+    groups = events.shape[1]
+    base = fpi if extra_evs else 0
+    n_frames = groups - (1 if extra_evs else 0)        # = L
+    if extra_frame:
+        gt_idx = base + jnp.arange(n_frames + 1) * fpi
+    else:
+        gt_idx = base + (jnp.arange(n_frames) + 1) * fpi
     # gather the few GT frames first, cast after (video may be uint8)
-    gt = video[:, gt_idx].astype(jnp.float32) / 255.0  # (B,L,H,W)
+    gt = video[:, gt_idx].astype(jnp.float32) / 255.0  # (B,F,H,W)
     return events, gt[..., None]
 
 
@@ -85,9 +123,14 @@ def make_train_step(interface: ModelInterface,
                     optimizer: optax.GradientTransformation,
                     sim_cfg: Optional[SimConfig] = None,
                     num_bins: int = 5, frames_per_bin: int = 1,
-                    donate: bool = True):
+                    donate: bool = True,
+                    extra_frame: bool = False, extra_evs: bool = False):
     """Build the jitted train step. If `sim_cfg` is given the step expects
-    the raw-video batch contract and synthesizes voxels on device."""
+    the raw-video batch contract and synthesizes voxels on device.
+    `extra_frame`/`extra_evs` mirror the dataset's
+    output_additional_frame/evs flags (flow-task training,
+    train_v2v_{evflow,eraft}: T+1 GT frames for the teacher's flow
+    pairs; ERAFT additionally one leading event group)."""
 
     use_hyper = interface.hyper_epochs > 0
 
@@ -97,7 +140,10 @@ def make_train_step(interface: ModelInterface,
             keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
                 jnp.arange(batch["video"].shape[0]))
             events, gt = synthesize_batch(
-                batch["video"], keys, sim_cfg, num_bins, frames_per_bin)
+                batch["video"], keys, sim_cfg, num_bins, frames_per_bin,
+                extra_frame=extra_frame, extra_evs=extra_evs,
+                fixed_pos=batch.get("pos_thres"),
+                fixed_neg=batch.get("neg_thres"))
             batch = dict(batch, events=events, frame=gt)
         batch = interface.prepare_flow(batch)
         b, _, h, w, _ = batch["events"].shape

@@ -181,6 +181,11 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
         sim_cfg = sim_config_from_dataset(first_item_cfg) if video_mode else None
         num_bins = first_item_cfg.get("num_bins", 5)
         frames_per_bin = first_item_cfg.get("frames_per_bin", 1)
+        # flow-task training: T+1 GT frames (teacher flow pairs) and,
+        # for ERAFT, one extra leading event group (v2v_datasets.py
+        # output_additional_frame/evs)
+        extra_frame = first_item_cfg.get("output_additional_frame", False)
+        extra_evs = first_item_cfg.get("output_additional_evs", False)
 
         # ---- init params on first stage -------------------------------
         if params is None:
@@ -220,7 +225,9 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
         train_step = make_train_step(iface, optimizer, sim_cfg,
-                                     num_bins, frames_per_bin)
+                                     num_bins, frames_per_bin,
+                                     extra_frame=extra_frame,
+                                     extra_evs=extra_evs)
         eval_step = make_eval_step(iface)
 
         epochs_before = sum(epochs_of_stages[:stage_idx])
@@ -308,11 +315,15 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                         b, _, h, w, _ = events.shape
                         state = iface.init_state(b, h, w)
                         pred, _ = eval_step(params, events, state)
+                        vb = {k: jnp.asarray(v) for k, v in vbatch.items()
+                              if isinstance(v, np.ndarray)}
+                        if task == "flow":
+                            # flow val needs a target even without GT
+                            # flow in the h5 (pseudo-GT from frames,
+                            # reference train_flow_utils.py:304-324)
+                            vb = iface.prepare_flow(vb)
                         vloss, vaux = iface.calc_loss(
-                            pred, {k: jnp.asarray(v) for k, v in
-                                   vbatch.items()
-                                   if isinstance(v, np.ndarray)},
-                            remove_flow_loss=True)
+                            pred, vb, remove_flow_loss=True)
                         val_losses.append(float(vloss))
                         # per-source val tags (select_best_checkpoint
                         # averages val/perceptual_loss/{source},

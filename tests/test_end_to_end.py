@@ -157,3 +157,39 @@ def test_flow_task_train_end_to_end(workspace):
     assert out["epoch"] == 1
     paths = all_ckpt_paths("smoke_flow", root)
     assert len(paths) == 1
+
+
+def test_fixed_threshold_ablation_train(workspace):
+    """train_ablation_e2vid_10k_fixed path: per-video thresholds stamped
+    in the video list ('name frames pos neg',
+    scripts/generate_random_thresholds.py) reach the device simulator."""
+    from v2v_tpu.training.train import main as train_main
+
+    tmp_path, webvid_root_file, video_list, h5_list = workspace
+    # re-stamp the list with fixed thresholds
+    name, frames = open(video_list).read().split()
+    fixed_list = tmp_path / "videos_fixed.txt"
+    fixed_list.write_text(f"{name} {frames} 0.31 0.47\n")
+
+    cfg = make_config(tmp_path, webvid_root_file, str(fixed_list), h5_list)
+    cfg["experiment_name"] = "smoke_fixed"
+    cfg["train_stages"][0]["max_epochs"] = 1
+    cfg["train_stages"][0]["dataset"]["val"] = []
+    cfg["train_stages"][0]["dataset"]["train"][0][
+        "use_fixed_thresholds"] = True
+
+    # the dataset must flag fixed thresholds and ship them per sample
+    from v2v_tpu.data.webvid import WebvidDataset
+    webvid_root = open(webvid_root_file).read().strip()
+    ds = WebvidDataset(webvid_root,
+                       cfg["train_stages"][0]["dataset"]["train"][0]
+                       | {"video_list_file": str(fixed_list)})
+    assert ds.use_fixed_thresholds
+    item = ds[0]
+    assert abs(float(item["pos_thres"]) - 0.31) < 1e-6
+    assert abs(float(item["neg_thres"]) - 0.47) < 1e-6
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "ckpt_paths"), exist_ok=True)
+    out = train_main(cfg, max_batches_per_epoch=1, root=root)
+    assert out["epoch"] == 1

@@ -182,3 +182,18 @@ def test_extract_images_memmap_script(tmp_path):
     lines = (out / "timestamps.txt").read_text().strip().splitlines()
     assert len(lines) == n_img
     assert lines[0].startswith("frame_0000000000.png 0.0")
+
+
+def test_generate_test_lists_script(tmp_path):
+    r = _run("generate_test_lists.py", "--root", "/data/bench",
+             "--out", str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    hqf = (tmp_path / "hqf_test.txt").read_text().strip().splitlines()
+    assert len(hqf) == 14                      # the HQF benchmark rows
+    assert hqf[0] == "/data/bench/HQF/bike_bay_hdr.h5"
+    ijrr = (tmp_path / "ijrr_test.txt").read_text().strip().splitlines()
+    assert len(ijrr) == 7
+    flow = (tmp_path / "mvsec_test_flow.txt").read_text().strip().splitlines()
+    assert flow[0] == "/data/bench/MVSEC_flow/indoor_flying1.h5"
+    assert (tmp_path / "evaid_test.txt").exists()
+    assert (tmp_path / "mvsec_test.txt").exists()

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -282,10 +284,14 @@ class ModelInterface:
             # chunk over T (sequential map) and rematerialize each
             # chunk's VGG activations — one flat (B*T) pass keeps the
             # whole trunk's activations live for backward (~GBs).
-            # 8 timesteps per chunk is the measured sweet spot at B=12,
-            # 128^2 (314ms vs 410ms at 2): bigger chunks amortize the
-            # remat/map overhead, beyond ~100 images/chunk it flattens.
-            chunk = max(c for c in (8, 5, 4, 2, 1) if t % c == 0)
+            # 10 timesteps per chunk is the measured sweet spot at B=12,
+            # 128^2 now that only the pred trunk lives in the chunk
+            # (full step 891 ms vs 908 at 8, 904 at 20); bigger chunks
+            # amortize remat/map overhead until activation memory bites.
+            chunk = max(c for c in (10, 8, 5, 4, 2, 1) if t % c == 0)
+            chunk_env = os.environ.get("V2V_LPIPS_CHUNK")
+            if chunk_env:               # perf experiments only
+                chunk = int(chunk_env)
             lp = self.lpips_train
             pt = jnp.swapaxes(pred, 0, 1).reshape(
                 (t // chunk, chunk * b) + pred.shape[2:])

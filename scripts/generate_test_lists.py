@@ -20,8 +20,6 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 REFS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))), "v2v_tpu", "eval", "metric_references.json")
 

@@ -1,8 +1,9 @@
 """Per-block TPU profiling of the flagship E2VID train step.
 
-The fused step is 0.90 s; the E2VID scan fwd+bwd (~480 ms) dominates at
-~20% MXU utilization (docs/PERF.md). This script isolates where those
-milliseconds go so conv tuning targets the right block.
+Measures where the scan fwd+bwd milliseconds go (per-block costs, remat
+policies with temp-HBM, unroll variants, the simulator) so tuning
+targets the right op; the findings live in docs/PERF.md ("The scan is
+at the practical roofline").
 
 Timing discipline (see .claude/skills/verify/SKILL.md): one dispatch of a
 device-side `lax.fori_loop` whose iterations carry a data dependency;
@@ -10,7 +11,8 @@ sync by fetching a host scalar. Host-side dispatch loops lie on the axon
 relay.
 
 Usage:  timeout 560 python -u scripts/profile_train_step.py [variants...]
-        variants in {fwd, bwd, unroll, noremat, blocks, sim}; default all.
+        variants in {fwd, bwd, unroll, policy, noremat, blocks, sim};
+        default all.
 """
 from __future__ import annotations
 
@@ -245,6 +247,6 @@ def main(variants):
 
 
 if __name__ == "__main__":
-    variants = sys.argv[1:] or ["fwd", "bwd", "unroll", "noremat",
-                                "blocks", "sim"]
+    variants = sys.argv[1:] or ["fwd", "bwd", "unroll", "policy",
+                                "noremat", "blocks", "sim"]
     main(variants)

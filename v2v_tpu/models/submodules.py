@@ -173,6 +173,7 @@ class TransposedConvLayer(nn.Module):
             self.features, (k, k), strides=(2, 2),
             padding=((k - 1 - p, k - 1 - p + 1), (k - 1 - p, k - 1 - p + 1)),
             transpose_kernel=True, use_bias=use_bias, name="transposed_conv2d")(x)
+        x = checkpoint_name(x, "conv_out")
         if self.norm == "BN":
             x = TorchBatchNorm(self.features, name="norm_layer")(
                 x, use_running_average=not train)

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..losses import losses as L
 from ..ops.pad import crop_from_multiple, pad_to_multiple
-from .interface import ModelInterface, _remat_policy
+from .interface import ModelInterface, scan_recurrent
 
 Array = jax.Array
 
@@ -74,31 +74,20 @@ class FlowModelInterface(ModelInterface):
 
     def _forward_evflow(self, params, events, state, train):
         events, hw = pad_to_multiple(events, 16)
-        track_bs = train and "batch_stats" in params
 
-        def step(carry, voxel):
-            if track_bs:
-                carry, bs = carry
+        def apply_fn(variables, carry, voxel, mutable):
+            if mutable:
                 (out, carry), mut = self.model.apply(
-                    {**params, "batch_stats": bs}, voxel, carry,
-                    train=train, mutable=["batch_stats"])
-                carry = (carry, mut["batch_stats"])
-            else:
-                out, carry = self.model.apply(params, voxel, carry,
-                                              train=train)
-            return carry, out["flow"]
+                    variables, voxel, carry, train=train,
+                    mutable=["batch_stats"])
+                return (out["flow"], carry), mut
+            out, carry = self.model.apply(variables, voxel, carry,
+                                          train=train)
+            return out["flow"], carry
 
-        if train:
-            step = jax.checkpoint(         # bound BPTT memory over T
-                step, policy=_remat_policy(self.remat_policy))
-        if track_bs:
-            state = (state, params["batch_stats"])
-        final_state, flows = jax.lax.scan(
-            step, state, jnp.swapaxes(events, 0, 1))
-        updates = {}
-        if track_bs:
-            final_state, bs = final_state
-            updates["batch_stats"] = bs
+        final_state, flows, updates = scan_recurrent(
+            apply_fn, params, state, jnp.swapaxes(events, 0, 1), train,
+            self.remat_policy)
         flows = jnp.swapaxes(flows, 0, 1)
         return crop_from_multiple(flows, hw), final_state, updates
 
@@ -111,33 +100,23 @@ class FlowModelInterface(ModelInterface):
         trains BN live — train.py:72, no freeze_bn call)."""
         prev = jnp.swapaxes(events[:, :-1], 0, 1)
         curr = jnp.swapaxes(events[:, 1:], 0, 1)
-        track_bs = train and "batch_stats" in params
 
-        def step(carry, x):
+        def apply_fn(variables, carry, x, mutable):
             v0, v1 = x
-            if track_bs:
-                carry, bs = carry
+            if mutable:
                 (out, carry), mut = self.model.apply(
-                    {**params, "batch_stats": bs}, v0, v1, carry,
-                    train=train, mutable=["batch_stats"])
-                carry = (carry, mut["batch_stats"])
-            else:
-                out, carry = self.model.apply(params, v0, v1, carry,
-                                              train=train)
-            return carry, out["flow"]
+                    variables, v0, v1, carry, train=train,
+                    mutable=["batch_stats"])
+                return (out["flow"], carry), mut
+            out, carry = self.model.apply(variables, v0, v1, carry,
+                                          train=train)
+            return out["flow"], carry
 
-        if train:
-            # 12 GRU iterations per pair x T pairs of activations would
-            # not fit; recompute per pair in the backward pass
-            step = jax.checkpoint(step,
-                                  policy=_remat_policy(self.remat_policy))
-        if track_bs:
-            state = (state, params["batch_stats"])
-        final_state, flows = jax.lax.scan(step, state, (prev, curr))
-        updates = {}
-        if track_bs:
-            final_state, bs = final_state
-            updates["batch_stats"] = bs
+        # 12 GRU iterations per pair x T pairs of activations would not
+        # fit; the scan remat recomputes per pair in the backward pass
+        final_state, flows, updates = scan_recurrent(
+            apply_fn, params, state, (prev, curr), train,
+            self.remat_policy)
         return jnp.swapaxes(flows, 0, 1), final_state, updates
 
     def calc_loss(self, pred: Array, batch: Dict[str, Array],

@@ -45,6 +45,45 @@ def _remat_policy(name: str):
     raise ValueError(f"unknown remat_policy {name!r}")
 
 
+def scan_recurrent(apply_fn, params, state, xs, train: bool,
+                   remat_policy: Optional[str] = None):
+    """Scan a recurrent model step with BPTT remat and mutable
+    batch_stats threading (shared by the reconstruction and flow
+    forwards — BN running stats update sequentially through the scan
+    when training; the reference trains BN live, train.py:72).
+
+    apply_fn(variables, carry, x, mutable) must call the model with
+    `mutable=["batch_stats"]` when `mutable` is True and return
+    ((y, new_carry), mutated_vars); otherwise return (y, new_carry).
+
+    Returns (final_carry, ys, updates) where updates is {} or
+    {'batch_stats': <stats after the last step>}."""
+    track_bs = train and "batch_stats" in params
+
+    def step(carry, x):
+        if track_bs:
+            carry, bs = carry
+            (y, new_carry), mut = apply_fn(
+                {**params, "batch_stats": bs}, carry, x, True)
+            return (new_carry, mut["batch_stats"]), y
+        y, new_carry = apply_fn(params, carry, x, False)
+        return new_carry, y
+
+    if train:
+        # BPTT through the recurrent steps stores every activation
+        # otherwise; rematerialize per step (optionally keeping named
+        # conv outputs — see remat_policy)
+        step = jax.checkpoint(step, policy=_remat_policy(remat_policy))
+    if track_bs:
+        state = (state, params["batch_stats"])
+    final_state, ys = jax.lax.scan(step, state, xs)
+    updates = {}
+    if track_bs:
+        final_state, bs_final = final_state
+        updates["batch_stats"] = bs_final
+    return final_state, ys, updates
+
+
 class LossConfig(NamedTuple):
     """The `module.loss` config block (train_utils.py:250-279)."""
     lpips_weight: float = 0.0
@@ -153,9 +192,8 @@ class ModelInterface:
         if self.normalize_voxels:
             events = normalize_batch_voxel(events)
         events, hw = pad_to_multiple(events, 16)
-        # running stats update sequentially through the scan; keep them
-        # f32 (excluded from the bf16 cast below) like torch buffers
-        track_bs = train and "batch_stats" in params
+        # (BN running stats stay f32 — excluded from the bf16 cast below
+        # like torch buffers; scan_recurrent threads them when training)
         if train and self.compute_dtype:
             dtype = jnp.dtype(self.compute_dtype)
             params = dict(params)
@@ -178,17 +216,14 @@ class ModelInterface:
         # carried through the scan
         use_rng = train and dropout_rng is not None
 
-        def step(carry, x):
-            if track_bs:
-                carry, bs = carry
+        def apply_fn(variables, carry, x, mutable):
             if use_rng:
                 carry, key = carry
                 key, sub = jax.random.split(key)
                 kwargs = {"rngs": {"dropout": sub}}
             else:
                 kwargs = {}
-            variables = {**params, "batch_stats": bs} if track_bs else params
-            if track_bs:
+            if mutable:
                 kwargs["mutable"] = ["batch_stats"]
             if use_hyper:
                 voxel, gt = x
@@ -199,37 +234,23 @@ class ModelInterface:
                 (voxel,) = x
                 ret = self.model.apply(
                     variables, voxel, carry, train=train, **kwargs)
-            if track_bs:
+            if mutable:
                 (out, new_state), mut = ret
-                bs = mut["batch_stats"]
             else:
                 out, new_state = ret
             if use_rng:
                 new_state = (new_state, key)
-            if track_bs:
-                new_state = (new_state, bs)
-            return new_state, out["image"]
+            if mutable:
+                return (out["image"], new_state), mut
+            return out["image"], new_state
 
-        if train:
-            # BPTT through T=40 recurrent UNet steps stores every
-            # activation (~39 GB at the reference training shape, vs
-            # 16 GB HBM). Rematerialize: keep only the carried states
-            # per step, recompute activations in the backward pass
-            # (optionally keeping named conv outputs — see remat_policy).
-            step = jax.checkpoint(step, policy=_remat_policy(
-                self.remat_policy))
         if train and self.compute_dtype:
             state = jax.tree.map(
                 lambda x: x.astype(jnp.dtype(self.compute_dtype)), state)
         if use_rng:
             state = (state, dropout_rng)   # after the dtype cast — keys
-        if track_bs:
-            state = (state, params["batch_stats"])
-        final_state, imgs = jax.lax.scan(step, state, xs)
-        updates = {}
-        if track_bs:
-            final_state, bs_final = final_state
-            updates["batch_stats"] = bs_final
+        final_state, imgs, updates = scan_recurrent(
+            apply_fn, params, state, xs, train, self.remat_policy)
         if use_rng:
             final_state, _ = final_state
         imgs = jnp.swapaxes(imgs, 0, 1)              # (B,T,ph,pw,C)

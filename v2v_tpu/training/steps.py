@@ -64,6 +64,10 @@ def synthesize_batch(video: Array, keys: Array, sim_cfg: SimConfig,
     in VMEM (~2x the scan path); otherwise the jnp scan path runs."""
     fpi = num_bins * frames_per_bin
     b = video.shape[0]
+    if (fixed_pos is None) != (fixed_neg is None):
+        raise ValueError(
+            "fixed_pos and fixed_neg must be given together (per-video "
+            "fixed thresholds pin both polarities)")
     if use_pallas is None:
         use_pallas = _pallas_ok(video, sim_cfg)
 
@@ -152,6 +156,12 @@ def make_train_step(interface: ModelInterface,
         drop_key = jax.random.fold_in(key, 0x5eed)
 
         def loss_fn(p):
+            if "batch_stats" in p:
+                # BN running stats are buffers: make their grads
+                # structurally zero (live-stat normalization never uses
+                # them, but state the invariant rather than rely on it)
+                p = {**p, "batch_stats": jax.tree.map(
+                    jax.lax.stop_gradient, p["batch_stats"])}
             if use_hyper:
                 # GT-mixing curriculum (train_utils.py:307,328-342)
                 pred, _, model_upd = interface.forward_sequence(

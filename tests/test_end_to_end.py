@@ -116,6 +116,18 @@ def test_train_resume_and_eval(workspace):
                                "test_metrics.txt")
     content = open(metrics_txt).read()
     assert "HQF/testseq/MSE" in content
+
+    # test-all-checkpoints mode (test_e2vid.py argv[2]): every saved
+    # checkpoint gets a CSV row, already-done rows skip on rerun
+    test_main(cfg, test_all_pths=True, max_batches=2, root=root)
+    with open(csv) as f:
+        lines = f.readlines()
+    rows = [ln.split(",")[0] for ln in lines[1:]]
+    assert set(rows) == {"epoch_0000.msgpack", "epoch_0001.msgpack",
+                         "epoch_0002.msgpack"}, rows
+    # rerun: skip-if-done leaves the CSV unchanged
+    test_main(cfg, test_all_pths=True, max_batches=2, root=root)
+    assert len(open(csv).readlines()) == len(lines)
     assert "HQF/testseq/SSIM" in content
     # image dump
     dump_dir = os.path.join(root, "results", "smoke_e2e", "HQF", "testseq")

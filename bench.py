@@ -97,9 +97,12 @@ def main():
 
     v_dev = jnp.asarray(videos)                 # uint8, as the loader ships
     float(chained(v_dev))                       # compile + warm
-    t0 = time.perf_counter()
-    float(chained(v_dev))
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):                          # median damps relay jitter
+        t0 = time.perf_counter()
+        float(chained(v_dev))
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
     clips_per_sec = B * iters / dt
 
     # reference CPU simulator baseline (per clip, single worker)

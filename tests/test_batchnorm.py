@@ -166,3 +166,32 @@ def test_hyper_atom_generator_bn_updates_in_train():
     before = _bn_leaves(variables["batch_stats"])
     after = _bn_leaves(mut["batch_stats"])
     assert not np.allclose(before, after)
+
+
+def test_batch_stats_survive_checkpoint_roundtrip(tmp_path):
+    """Trained BN running stats are part of the checkpoint tree and must
+    restore exactly (resume parity for from-scratch ERAFT training)."""
+    from v2v_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+    from v2v_tpu.models.submodules import TorchBatchNorm
+
+    bn = TorchBatchNorm(3)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 3),
+                    jnp.float32)
+    variables = dict(bn.init(jax.random.PRNGKey(0), x))
+    _, mut = bn.apply(variables, x, use_running_average=False,
+                      mutable=["batch_stats"])
+    variables["batch_stats"] = mut["batch_stats"]
+
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, jax.tree.map(np.asarray, variables), {"o": 1}, 3)
+    template = jax.tree.map(np.zeros_like, variables)
+    restored, _, meta = load_checkpoint(path, template, {"o": 0})
+    assert meta["epoch"] == 3
+    np.testing.assert_array_equal(
+        np.asarray(restored["batch_stats"]["mean"]),
+        np.asarray(variables["batch_stats"]["mean"]))
+    np.testing.assert_array_equal(
+        np.asarray(restored["batch_stats"]["var"]),
+        np.asarray(variables["batch_stats"]["var"]))
+    assert float(np.abs(np.asarray(
+        restored["batch_stats"]["mean"])).sum()) > 0

@@ -98,6 +98,67 @@ def test_hyper_parity():
         assert err < 5e-4, f"step {i}: {err}"
 
 
+def test_nernet_parity():
+    """NerNet released-checkpoint path (config/test_nernet_original.yaml):
+    raw events -> learned voxelization -> NIAM-STcell-GCB UNet, multi-step
+    with carried (h, c, m) state, against the reference torch model."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from v2v_tpu.models.nernet import RepresentationRecurrent
+
+    mod = _ref_import("model.nernet_model")
+    # the shipped config's unet_kwargs (test_nernet_original.yaml),
+    # shrunk spatially via the test resolution only
+    kwargs = dict(num_bins=5, skip_type="sum",
+                  recurrent_network="NIAM_STcell_GCB",
+                  recurrent_block_type="", num_encoders=3,
+                  base_num_channels=32, num_residual_blocks=2,
+                  use_upsample_conv=True, norm="", crop_size=224,
+                  mlp_layers=[1, 50, 50, 50, 1],
+                  use_cnn_representation=True, normalize=False,
+                  combine_voxel=False, RepCNN_kernel_size=3,
+                  RepCNN_padding=1, RepCNN_channel=64, RepCNN_num_layers=1,
+                  num_output_channels=1)
+    tmodel = mod.RepresentationRecurrent(dict(kwargs))
+    tmodel.eval()
+
+    h, w = 52, 60          # not multiples of 8: exercises the pad+crop quirk
+    tmodel.set_resolution(h, w)
+    tmodel.reset_states()
+
+    rng = np.random.RandomState(3)
+    steps = []
+    for _ in range(3):
+        n = int(rng.randint(400, 900))
+        xs = rng.randint(0, w, n).astype(np.float64)
+        ys = rng.randint(0, h, n).astype(np.float64)
+        ts = np.sort(rng.uniform(0.0, 0.05, n)).astype(np.float64)
+        ps = (rng.randint(0, 2, n) * 2 - 1).astype(np.float64)
+        steps.append(np.stack([xs, ys, ts, ps, np.zeros(n)], axis=1))
+
+    t_outs = []
+    with torch.no_grad():
+        for evs in steps:
+            out, _ = tmodel(torch.tensor(evs.copy()))
+            t_outs.append(out["image"][:, :, :h, :w].numpy())
+
+    fmodel = RepresentationRecurrent(unet_kwargs=dict(kwargs))
+    state = fmodel.init_state(1, h, w)
+    ev0 = jnp.asarray(steps[0], jnp.float32)
+    variables = fmodel.init(jax.random.PRNGKey(0), ev0,
+                            jnp.int32(len(steps[0])), state)
+    params = _convert(tmodel, variables)
+    f_outs = []
+    for evs in steps:
+        out, state = fmodel.apply(params, jnp.asarray(evs, jnp.float32),
+                                  jnp.int32(evs.shape[0]), state)
+        f_outs.append(np.transpose(np.asarray(out["image"]), (0, 3, 1, 2)))
+    for i, (a, b) in enumerate(zip(t_outs, f_outs)):
+        err = np.abs(a - b).max()
+        assert err < 2e-2, f"step {i}: {err}"
+
+
 def test_eraft_parity():
     import torch
     import jax

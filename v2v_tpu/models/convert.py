@@ -36,7 +36,12 @@ def _strip_wrappers(key: str) -> str:
 # flax names their children `{name}_{i}`.
 _MODULELISTS = ("encoders", "resblocks", "DownsampleConv", "UpsampleConv",
                 "layers", "bases_net", "layer1", "layer2", "layer3",
-                "downsample", "mask")
+                "downsample", "mask",
+                # NerNet (model/nernet/*): ValueLayer mlp, RepCNN
+                # Sequential, NAM-cell Sequential conv wrappers, GCB
+                # channel_add_conv Sequential
+                "mlp", "cnn", "conv_x", "conv_h", "conv_m", "conv_o",
+                "channel_add_conv")
 # torch wrapper levels with no flax counterpart: the
 # transformer_encoder.encoder / transformer_decoder.decoder nesting
 # (dropped only directly inside a trans_* module — ERAFT's motion
@@ -44,7 +49,8 @@ _MODULELISTS = ("encoders", "resblocks", "DownsampleConv", "UpsampleConv",
 _DROP_TOKENS = ("encoder", "decoder")
 # decoder stacks live in a _Decoders submodule whose children are
 # decoders_{i} regardless of the stack's own name.
-_DECODER_STACKS = ("decoders", "image_decoders", "flow_decoders")
+_DECODER_STACKS = ("decoders", "image_decoders", "flow_decoders",
+                   "m_t_UpsampleLayer")
 
 
 def _flax_path(parts: List[str]) -> List[str]:
@@ -54,6 +60,13 @@ def _flax_path(parts: List[str]) -> List[str]:
         p = parts[i]
         if p in _DROP_TOKENS and i > 0 and parts[i - 1].startswith("trans_"):
             i += 1
+            continue
+        if p == "representation" and i + 1 < len(parts):
+            # NerNet Voxelization children live under flat flax names
+            # `representation.quantization_layer` / `representation.ConvLayer`
+            # (nernet_model.py:57).
+            out.append(f"representation.{parts[i + 1]}")
+            i += 2
             continue
         if (p in _MODULELISTS and i + 1 < len(parts)
                 and parts[i + 1].isdigit()):
@@ -121,9 +134,13 @@ def torch_state_dict_to_flax(state_dict: Dict[str, Any],
             elif arr.ndim == 2:
                 _set_path(params, module_path + ["kernel"], arr.T)
             else:                                     # norm scale
+                if arr.ndim == 3 and arr.shape[1:] == (1, 1):
+                    arr = arr.reshape(-1)  # LayerNorm([C,1,1]) -> (C,)
                 _set_path(params, module_path + ["scale"], arr)
             continue
         if leaf == "bias":
+            if arr.ndim == 3 and arr.shape[1:] == (1, 1):
+                arr = arr.reshape(-1)      # LayerNorm([C,1,1]) -> (C,)
             _set_path(params, module_path + ["bias"], arr)
             continue
         _set_path(params, module_path + [leaf], arr)

@@ -99,6 +99,7 @@ class RepresentationCNN(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from .submodules import TorchBatchNorm
         k = self.kernel_size
         pad = ((k // 2, k // 2), (k // 2, k // 2))
         y = nn.relu(nn.Conv(self.features, (k, k), padding=pad,
@@ -106,18 +107,23 @@ class RepresentationCNN(nn.Module):
         for i in range(self.num_layers - 2):
             y = nn.Conv(self.features, (k, k), padding=pad, use_bias=False,
                         name=f"cnn_{3 * i + 2}")(y)
-            scale = self.param(f"bn{i}_scale", nn.initializers.ones,
-                               (self.features,))
-            bias = self.param(f"bn{i}_bias", nn.initializers.zeros,
-                              (self.features,))
-            mean = self.variable("batch_stats", f"bn{i}_mean",
-                                 lambda: jnp.zeros((self.features,)))
-            var = self.variable("batch_stats", f"bn{i}_var",
-                                lambda: jnp.ones((self.features,)))
-            y = (y - mean.value) * jax.lax.rsqrt(var.value + 1e-5)
-            y = nn.relu(y * scale + bias)
+            y = TorchBatchNorm(self.features, name=f"cnn_{3 * i + 3}")(y)
+            y = nn.relu(y)
+        # torch appends the tail conv after 2 + 3*(num_layers-2) entries;
+        # with the shipped RepCNN_num_layers=1 that index is simply 2.
+        tail = 2 + 3 * max(self.num_layers - 2, 0)
         return nn.Conv(self.channels, (k, k), padding=pad, use_bias=False,
-                       name=f"cnn_{3 * (self.num_layers - 2) + 2}")(y)
+                       name=f"cnn_{tail}")(y)
+
+
+class _PReLU(nn.Module):
+    """torch nn.PReLU() (one shared slope); a module so the converter's
+    generic weight->scale rule lands on `channel_add_conv_2/scale`."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        alpha = self.param("scale", nn.initializers.constant(0.25), (1,))
+        return jnp.where(x >= 0, x, alpha * x)
 
 
 class ContextBlock2d(nn.Module):
@@ -136,9 +142,8 @@ class ContextBlock2d(nn.Module):
         context = context[:, None, None, :]                    # (B,1,1,C)
         y = nn.Conv(self.planes // self.ratio, (1, 1),
                     name="channel_add_conv_0")(context)
-        y = nn.LayerNorm(name="channel_add_conv_1")(y)
-        alpha = self.param("prelu", nn.initializers.constant(0.25), (1,))
-        y = jnp.where(y >= 0, y, alpha * y)                    # PReLU
+        y = nn.LayerNorm(epsilon=1e-5, name="channel_add_conv_1")(y)
+        y = _PReLU(name="channel_add_conv_2")(y)
         y = nn.Conv(self.inplanes, (1, 1), name="channel_add_conv_3")(y)
         return x + y
 
@@ -209,6 +214,23 @@ class RecurrentConvLayerNAMGCB(nn.Module):
             x, h, c, m)
 
 
+class _UpStack(nn.Module):
+    """Upsample-decoder stack with sum-skips; children are named
+    decoders_{i} so the converter's _DECODER_STACKS rule maps the torch
+    ModuleLists `decoders.{i}` / `m_t_UpsampleLayer.{i}` here."""
+    features: Tuple[int, ...]
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x: Array, skips, train: bool = False) -> Array:
+        n = len(self.features)
+        for i, f in enumerate(self.features):
+            x = UpsampleConvLayer(f, self.kernel_size,
+                                  name=f"decoders_{i}")(
+                x + skips[n - i - 1], train=train)
+        return x
+
+
 class UNetNIAMSTcellGCB(nn.Module):
     """(nernet/unet.py:139-240)"""
     num_bins: int
@@ -246,21 +268,17 @@ class UNetNIAMSTcellGCB(nn.Module):
             blocks_m.append(m)
 
         # m-stream upsampler back to full resolution
-        mm = blocks_m[-1]
-        for i, features in enumerate(reversed(enc_in)):
-            mm = UpsampleConvLayer(features, self.kernel_size,
-                                   name=f"m_t_UpsampleLayer_{i}")(
-                mm + blocks_m[self.num_encoders - i - 1], train=train)
-        new_m = mm
+        up_feats = tuple(reversed(enc_in))
+        new_m = _UpStack(up_feats, self.kernel_size,
+                         name="m_t_UpsampleLayer")(
+            blocks_m[-1], blocks_m, train=train)
 
         xx = blocks_h[-1]
         for i in range(self.num_residual_blocks):
             xx = ResidualBlock(enc_out[-1], name=f"resblocks_{i}")(
                 xx, train=train)
-        for i, features in enumerate(reversed(enc_in)):
-            xx = UpsampleConvLayer(features, self.kernel_size,
-                                   name=f"decoders_{i}")(
-                xx + blocks_h[self.num_encoders - i - 1], train=train)
+        xx = _UpStack(up_feats, self.kernel_size, name="decoders")(
+            xx, blocks_h, train=train)
         img = ConvLayer(1, 1, activation=None, name="pred")(xx + head)
         return {"image": img}, (tuple(new_h), tuple(new_c), new_m)
 
@@ -315,7 +333,10 @@ class RepresentationRecurrent(nn.Module):
             out, new_unet_state = UNetRecurrent(cfg, name="unetrecurrent")(
                 padded, list(unet_state), train=train)
             new_unet_state = tuple(new_unet_state)
-        img = cp.crop(out["image"])
+        # Reference quirk kept for benchmark parity: the harness takes a
+        # TOP-LEFT [:H,:W] crop of the (symmetrically padded!) output
+        # (train_utils.py:364), not CropParameters.crop.
+        img = out["image"][..., :height, :width, :]
         return {"image": img, "voxel": vox}, (new_unet_state, state[-1])
 
     @nn.nowrap

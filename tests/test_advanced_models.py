@@ -107,6 +107,60 @@ def test_nernet_forward():
     assert not np.allclose(out["image"], out2["image"])
 
 
+def test_nernet_eval_bucket_sweep_compile_cache():
+    """A realistic event-rate sweep through the interface: per-step
+    streams crossing >=3 power-of-two buckets must compile once per
+    (bucket, resolution) and reuse after, and padding to a bucket must
+    not change the result vs a direct un-padded apply."""
+    from v2v_tpu.training.interface import ModelInterface
+
+    cfg = {
+        "is_nernet": True,
+        "loss": {"l1_weight": 1.0},
+        "model": {"target": "model.nernet_model.RepresentationRecurrent",
+                  "params": {"unet_kwargs": dict(
+                      num_bins=5, num_encoders=3, base_num_channels=8,
+                      num_residual_blocks=1, crop_size=112,
+                      mlp_layers=[1, 30, 30, 1], normalize=False,
+                      use_cnn_representation=False, combine_voxel=False,
+                      recurrent_network="NIAM_STcell_GCB")}},
+    }
+    iface = ModelInterface(cfg)
+    h, w = 32, 40
+    rng = np.random.RandomState(1)
+
+    def stream(n):
+        evs = np.zeros((n, 5), np.float64)
+        evs[:, 0] = rng.randint(0, w, n)
+        evs[:, 1] = rng.randint(0, h, n)
+        evs[:, 2] = np.sort(rng.rand(n)) + 1e9   # absolute-stamp regime
+        evs[:, 3] = rng.choice([-1, 1], n)
+        return evs
+
+    # counts -> buckets: 1024, 1024, 2048, 4096, 2048, 8192
+    counts = [500, 900, 1500, 3000, 1100, 5000]
+    streams = [stream(n) for n in counts]
+    state = iface.model.init_state(1, h, w)       # harness.py nernet init
+    dummy = jnp.zeros((1024, 5), jnp.float32)
+    params = iface.model.init(jax.random.PRNGKey(0), dummy, jnp.int32(0),
+                              state)
+    pred, state = iface.forward_sequence_nernet(params, streams, state)
+    assert pred.shape == (1, len(counts), h, w, 1)
+    assert np.isfinite(np.asarray(pred)).all()
+    buckets = {max(1024, 1 << (n - 1).bit_length()) for n in counts}
+    assert len(buckets) == 4
+    assert set(iface._nernet_cache) == {(b, h, w) for b in buckets}
+
+    # bucket padding is inert: un-padded direct apply agrees at step 0
+    s0 = iface.model.init_state(1, h, w)
+    evs0 = streams[0].copy()
+    evs0[:, 2] -= evs0[0, 2]
+    out, _ = iface.model.apply(params, jnp.asarray(evs0, jnp.float32),
+                               jnp.int32(len(evs0)), s0)
+    np.testing.assert_allclose(np.asarray(pred[:, 0]),
+                               np.asarray(out["image"]), atol=1e-5)
+
+
 def test_nernet_voxelization_matches_reference_semantics():
     """Events in one bin with t=0 contribute t*w(t)=0; last-time events
     land in the last positive bin slot."""

@@ -88,6 +88,11 @@ class LossConfig(NamedTuple):
     """The `module.loss` config block (train_utils.py:250-279)."""
     lpips_weight: float = 0.0
     lpips_type: str = "vgg"
+    # 'full' rematerializes the pred trunk per chunk (smallest memory);
+    # 'none' keeps each chunk's trunk activations for backward — saves
+    # one full trunk recompute per chunk (~maps to LPIPS chunk count x
+    # ~1 GiB bf16 of taps live across the lax.map scan)
+    lpips_remat: str = "full"
     l1_weight: float = 0.0
     l2_weight: float = 0.0
     temporal_consistency_weight: float = 0.0
@@ -97,6 +102,14 @@ class LossConfig(NamedTuple):
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "LossConfig":
+        if d.get("ssim_weight", 0):
+            # the reference ships ssim_loss disabled too: its __call__ is
+            # `assert False, "This function causes multi-GPU issues."`
+            # (model/loss.py:149-157); fail loudly rather than silently
+            # dropping the term
+            raise ValueError(
+                "ssim_weight != 0 is unsupported (disabled in the "
+                "reference as well, model/loss.py:157); set it to 0")
         known = cls._fields
         return cls(**{k: v for k, v in d.items() if k in known})
 
@@ -262,20 +275,47 @@ class ModelInterface:
 
     def forward_sequence_nernet(self, params, events_list, state):
         """NerNet raw-event path (train_utils.py:350-378): B=1, a python
-        loop over T with per-step bucket-padded event streams (static
-        shapes per bucket; compile cache keyed by bucket size)."""
+        loop over T with per-step bucket-padded event streams. The jitted
+        apply is cached per (bucket, resolution) — a real sequence
+        sweeping event rates compiles once per power-of-two bucket and
+        then reuses (tests/test_advanced_models.py pins this), instead of
+        dispatching the UNet op-by-op (eager is ~ms/op on the TPU relay)."""
         import numpy as np
+        if not hasattr(self, "_nernet_cache"):
+            self._nernet_cache = {}
+        unet_state, hw = state      # hw is static python (height, width)
+        hw = tuple(int(v) for v in hw)
+
+        def _jitted(bucket):
+            key = (bucket,) + hw
+            fn = self._nernet_cache.get(key)
+            if fn is None:
+                def apply_fn(p, ev, n, us):
+                    out, (new_us, _) = self.model.apply(p, ev, n, (us, hw))
+                    return out, new_us
+                fn = jax.jit(apply_fn)
+                self._nernet_cache[key] = fn
+            return fn
+
         preds = []
         for evs in events_list:
-            evs = np.asarray(evs, np.float32)
+            evs = np.asarray(evs, np.float64).copy()
+            # Shift timestamps to a 0 origin in float64 BEFORE the f32
+            # cast: raw h5 stamps are absolute seconds whose f32
+            # representation collapses the per-event deltas (the
+            # reference normalizes in float64 for the same reason,
+            # testh5.py:329-330, representation_modules.py:199-215).
+            if evs.shape[0]:
+                evs[:, 2] -= evs[0, 2]
+            evs = evs.astype(np.float32)
             n = evs.shape[0]
             bucket = max(1024, 1 << (n - 1).bit_length())
             padded = np.zeros((bucket, 5), np.float32)
             padded[:n] = evs
-            out, state = self.model.apply(
-                params, jnp.asarray(padded), jnp.int32(n), state)
+            out, unet_state = _jitted(bucket)(
+                params, jnp.asarray(padded), jnp.int32(n), unet_state)
             preds.append(out["image"])           # (1,H,W,1)
-        return jnp.stack(preds, axis=1), state
+        return jnp.stack(preds, axis=1), (unet_state, hw)
 
     # -- loss -----------------------------------------------------------
     def calc_loss(self, pred: Array, batch: Dict[str, Array],
@@ -313,6 +353,11 @@ class ModelInterface:
             chunk_env = os.environ.get("V2V_LPIPS_CHUNK")
             if chunk_env:               # perf experiments only
                 chunk = int(chunk_env)
+                if chunk < 1 or t % chunk != 0:
+                    raise ValueError(
+                        f"V2V_LPIPS_CHUNK={chunk} must be a positive "
+                        f"divisor of the sequence length T={t} (the "
+                        f"(T//chunk, chunk*B) reshape below requires it)")
             lp = self.lpips_train
             pt = jnp.swapaxes(pred, 0, 1).reshape(
                 (t // chunk, chunk * b) + pred.shape[2:])
@@ -328,10 +373,12 @@ class ModelInterface:
                                 lp._features(
                                     g, True,
                                     compute_dtype=self.compute_dtype)), gt)
-            lpips_step = jax.checkpoint(
+            lpips_step = (
                 lambda p, gf: lp._dist_from_feats(
                     lp._features(p, True, compute_dtype=self.compute_dtype),
                     list(gf), compute_dtype=self.compute_dtype))
+            if cfg.lpips_remat != "none":
+                lpips_step = jax.checkpoint(lpips_step)
             d = jax.lax.map(lambda pg: lpips_step(pg[0], pg[1]),
                             (pt, gt_feats))
             # (T/chunk, chunk*B) -> (B,) means; grouping is (t, b) order

@@ -103,6 +103,56 @@ def test_train_step_data_parallel_mesh():
     np.testing.assert_array_equal(shards[0], shards[-1])
 
 
+def test_shard_batch_process_local_path():
+    """Multi-host batch assembly: the make_array_from_process_local_data
+    path (forced via process_count>1) must produce the same global array
+    and sharding as the single-process device_put path (in a 1-process
+    run the local shard IS the global batch)."""
+    mesh = make_mesh(8)
+    batch = _video_batch(b=8)
+    host_batch = {k: np.asarray(v) for k, v in batch.items()}
+    single = shard_batch(batch, mesh)
+    multi = shard_batch(host_batch, mesh, process_count=8)
+    for k in batch:
+        assert multi[k].sharding == single[k].sharding, k
+        np.testing.assert_array_equal(np.asarray(multi[k]),
+                                      np.asarray(single[k]))
+        assert len(multi[k].addressable_shards) == 8
+
+
+def test_per_host_index_sharding_math():
+    """DistributedSampler-replacement invariants (reference
+    train.py:54-58): per-host index sets are disjoint, cover the
+    dataset, and agree on the shuffle permutation across hosts."""
+    from v2v_tpu.data.interface import DataLoader
+
+    class _Fake:
+        def __len__(self):
+            return 103
+
+        def __getitem__(self, i):
+            return {"x": np.zeros(1)}
+
+    loaders = [DataLoader(_Fake(), batch_size=4, shuffle=True, seed=7,
+                          process_index=p, process_count=4)
+               for p in range(4)]
+    for epoch in (0, 1):
+        for ld in loaders:
+            ld.set_epoch(epoch)
+        shards = [ld._indices() for ld in loaders]
+        all_idx = np.concatenate(shards)
+        assert len(all_idx) == 103
+        assert len(np.unique(all_idx)) == 103
+        # same permutation on every host: interleaving reconstructs it
+        perm = np.empty(103, np.int64)
+        for p, s in enumerate(shards):
+            perm[p::4] = s
+        rng = np.random.RandomState(7 + epoch)
+        expect = np.arange(103)
+        rng.shuffle(expect)
+        np.testing.assert_array_equal(perm, expect)
+
+
 def test_eval_forward_state_streaming():
     """State carried across chunks must equal one long forward
     (streaming eval contract, test_e2vid.py:53-67)."""

@@ -34,10 +34,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh,
+                process_count: Optional[int] = None) -> Any:
     """Place every array in the batch pytree with its leading axis split
-    over the data axis."""
+    over the data axis.
+
+    Single-process: a plain `device_put` with the batch sharding.
+    Multi-host (`jax.process_count() > 1`): each host holds only its
+    local shard (global_batch / process_count rows — the per-host index
+    slicing in data/interface.py:_indices), and `device_put` cannot
+    place host-local rows onto a global mesh; the global array is
+    assembled with `jax.make_array_from_process_local_data` instead
+    (DistributedSampler replacement, reference train.py:41-58).
+
+    `process_count` overrides the autodetected count (for tests)."""
+    pc = jax.process_count() if process_count is None else process_count
     sharding = batch_sharding(mesh)
+    if pc > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -168,6 +168,7 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
             train_ds, batch_size, shuffle=True, drop_last=True,
             num_workers=ds_cfg.get("num_workers", 4),
             process_index=process_index, process_count=process_count,
+            prefetch=ds_cfg.get("prefetch", 4),
             worker_type=ds_cfg.get("worker_type", "thread"))
         val_loader = DataLoader(
             val_ds, ds_cfg.get("val_batch_size", 1), shuffle=False,

@@ -112,6 +112,8 @@ def correlation_pyramid(fmap1: Array, fmap2: Array,
     for _ in range(num_levels - 1):
         bb, hh, ww, _ = corr.shape
         if hh >= 2 and ww >= 2:
+            # torch avg_pool2d(2,2) floors odd dims: drop trailing row/col
+            corr = corr[:, : hh // 2 * 2, : ww // 2 * 2]
             corr = corr.reshape(bb, hh // 2, 2, ww // 2, 2, 1).mean(axis=(2, 4))
         pyramid.append(corr)
     return pyramid

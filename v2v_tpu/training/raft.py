@@ -9,10 +9,12 @@ checkpoints (FlyingChairs/Things) must be provided by the user
 `torch.save(raft_large(pretrained=True).state_dict(), ...)` on a
 machine with network access).
 
-NOTE: the layer-name mapping follows torchvision 0.15+ module structure
-(feature_encoder.convnormrelu.0 etc.); numerical validation against
-torch requires the weights and is deferred to an environment that has
-them — scripts/validate_raft.py performs the check.
+The layer-name mapping follows torchvision 0.15+ module structure
+(feature_encoder.convnormrelu.0 etc.). It is pinned offline by
+tests/test_teacher_converters.py: a torch twin with torchvision's exact
+module tree must convert with a strict bidirectional key/shape match AND
+reproduce the flax forward numerically. scripts/validate_raft.py repeats
+the check end-to-end with genuine pretrained weights when available.
 
 The correlation/lookup/GRU machinery is shared with ERAFT
 (v2v_tpu/models/eraft.py) — RAFT on TPU is one einsum correlation
@@ -43,7 +45,11 @@ def _norm(kind: Optional[str], features: int, name: str):
 
 
 class ConvNormAct(nn.Module):
-    """torchvision Conv2dNormActivation: children '0' conv, '1' norm."""
+    """torchvision Conv2dNormActivation: children '0' conv, '1' norm.
+    The conv has a bias only when there is no norm layer (torchvision
+    Conv2dNormActivation: `bias = norm_layer is None`; InstanceNorm2d is
+    affine=False there, so it contributes no state-dict entries but
+    still suppresses the conv bias)."""
     features: int
     kernel: Tuple[int, int] = (3, 3)
     stride: int = 1
@@ -56,6 +62,7 @@ class ConvNormAct(nn.Module):
         x = nn.Conv(self.features, self.kernel,
                     strides=(self.stride, self.stride),
                     padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+                    use_bias=self.norm is None,
                     name="0")(x)
         n = _norm(self.norm, self.features, "1")
         x = n(x)
@@ -63,7 +70,10 @@ class ConvNormAct(nn.Module):
 
 
 class TVResidualBlock(nn.Module):
-    """torchvision raft ResidualBlock."""
+    """torchvision raft ResidualBlock. The torch `downsample` is a
+    Conv2dNormActivation; its children are named downsample_0/_1 here so
+    the converter's ModuleList rule (`downsample.0` -> `downsample_0`,
+    shared with ERAFT's nn.Sequential downsample) lands on them."""
     features: int
     norm: str = "instance"
     stride: int = 1
@@ -75,13 +85,17 @@ class TVResidualBlock(nn.Module):
         y = ConvNormAct(self.features, (3, 3), 1, self.norm,
                         name="convnormrelu2")(y)
         if self.stride != 1 or x.shape[-1] != self.features:
-            x = ConvNormAct(self.features, (1, 1), self.stride, self.norm,
-                            act=False, name="downsample")(x)
+            x = nn.Conv(self.features, (1, 1),
+                        strides=(self.stride, self.stride),
+                        use_bias=self.norm is None,
+                        name="downsample_0")(x)
+            x = _norm(self.norm, self.features, "downsample_1")(x)
         return nn.relu(x + y)
 
 
 class TVBottleneckBlock(nn.Module):
-    """torchvision raft BottleneckBlock (raft_small)."""
+    """torchvision raft BottleneckBlock (raft_small); downsample naming
+    as in TVResidualBlock."""
     features: int
     norm: str = "instance"
     stride: int = 1
@@ -95,8 +109,11 @@ class TVBottleneckBlock(nn.Module):
         y = ConvNormAct(self.features, (1, 1), 1, self.norm,
                         name="convnormrelu3")(y)
         if self.stride != 1 or x.shape[-1] != self.features:
-            x = ConvNormAct(self.features, (1, 1), self.stride, self.norm,
-                            act=False, name="downsample")(x)
+            x = nn.Conv(self.features, (1, 1),
+                        strides=(self.stride, self.stride),
+                        use_bias=self.norm is None,
+                        name="downsample_0")(x)
+            x = _norm(self.norm, self.features, "downsample_1")(x)
         return nn.relu(x + y)
 
 
@@ -138,6 +155,26 @@ class TVMotionEncoder(nn.Module):
         return jnp.concatenate([x, flow], axis=-1)
 
 
+class TVConvGRU(nn.Module):
+    """torchvision raft ConvGRU (children convz/convr/convq)."""
+    hidden: int
+    kernel: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array) -> Array:
+        kh, kw = self.kernel
+        pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(nn.Conv(self.hidden, self.kernel, padding=pad,
+                               name="convz")(hx))
+        r = nn.sigmoid(nn.Conv(self.hidden, self.kernel, padding=pad,
+                               name="convr")(hx))
+        q = jnp.tanh(nn.Conv(self.hidden, self.kernel, padding=pad,
+                             name="convq")(
+            jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
+
+
 class TVRecurrentBlock(nn.Module):
     hidden: int = 128
     kernels: Tuple[Tuple[int, int], ...] = ((1, 5), (5, 1))
@@ -145,18 +182,7 @@ class TVRecurrentBlock(nn.Module):
     @nn.compact
     def __call__(self, h: Array, x: Array) -> Array:
         for gi, k in enumerate(self.kernels, start=1):
-            name = f"convgru{gi}"
-            kh, kw = k
-            pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
-            hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(nn.Conv(self.hidden, k, padding=pad,
-                                   name=f"{name}.convz")(hx))
-            r = nn.sigmoid(nn.Conv(self.hidden, k, padding=pad,
-                                   name=f"{name}.convr")(hx))
-            q = jnp.tanh(nn.Conv(self.hidden, k, padding=pad,
-                                 name=f"{name}.convq")(
-                jnp.concatenate([r * h, x], axis=-1)))
-            h = (1 - z) * h + z * q
+            h = TVConvGRU(self.hidden, k, name=f"convgru{gi}")(h, x)
         return h
 
 
@@ -171,6 +197,57 @@ class TVFlowHead(nn.Module):
                        name="conv2")(y)
 
 
+class TVUpdateBlock(nn.Module):
+    """torchvision raft UpdateBlock: motion_encoder + recurrent_block +
+    flow_head as real child scopes (torch keys
+    `update_block.motion_encoder.convcorr1.0.weight` etc.)."""
+    small: bool = False
+
+    @nn.compact
+    def __call__(self, net: Array, inp: Array, flow: Array,
+                 corr: Array) -> Tuple[Array, Array]:
+        if self.small:
+            motion = TVMotionEncoder((96,), (64, 32), 82,
+                                     name="motion_encoder")
+            recurrent = TVRecurrentBlock(96, ((3, 3),),
+                                         name="recurrent_block")
+            flow_head = TVFlowHead(128, name="flow_head")
+        else:
+            motion = TVMotionEncoder((256, 192), (128, 64), 128,
+                                     name="motion_encoder")
+            recurrent = TVRecurrentBlock(128, name="recurrent_block")
+            flow_head = TVFlowHead(256, name="flow_head")
+        m = motion(flow, corr)
+        net = recurrent(net, jnp.concatenate([inp, m], axis=-1))
+        return net, flow_head(net)
+
+
+class TVMaskPredictor(nn.Module):
+    """torchvision raft MaskPredictor (raft_large convex upsampling)."""
+
+    @nn.compact
+    def __call__(self, net: Array) -> Array:
+        y = ConvNormAct(256, (3, 3), norm=None, name="convrelu")(net)
+        # torchvision multiplies by 0.25 inside the predictor
+        return 0.25 * nn.Conv(64 * 9, (1, 1), name="conv")(y)
+
+
+def _upsample_align_corners(x: Array, factor: int) -> Array:
+    """Bilinear upsample with torch align_corners=True semantics
+    (output i samples input at i*(n_in-1)/(n_out-1)), as two tent-weight
+    matmuls (separable; MXU-friendly, no gathers)."""
+    b, h, w, c = x.shape
+    hh, ww = factor * h, factor * w
+
+    def mat(n_in, n_out):
+        pos = (jnp.arange(n_out, dtype=jnp.float32)
+               * (n_in - 1) / max(n_out - 1, 1))
+        grid = jnp.arange(n_in, dtype=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - grid[None, :]))
+
+    return jnp.einsum("Hh,bhwc,Ww->bHWc", mat(h, hh), x, mat(w, ww))
+
+
 class RAFT(nn.Module):
     """torchvision-compatible RAFT. 3-channel images in [-1, 1]."""
     small: bool = False
@@ -183,23 +260,12 @@ class RAFT(nn.Module):
             ctx_layers = (32, 32, 64, 96, 160)
             hdim, cdim = 96, 64
             radius, bottleneck = 3, True
-            corr_ch = 4 * (2 * radius + 1) ** 2
-            motion = TVMotionEncoder((96, 64), (64, 32), 82,
-                                     name="update_block.motion_encoder")
-            recurrent = TVRecurrentBlock(hdim, ((3, 3),),
-                                         name="update_block.recurrent_block")
-            flow_head = TVFlowHead(128, name="update_block.flow_head")
         else:
             feat_layers = (64, 64, 96, 128, 256)
             ctx_layers = (64, 64, 96, 128, 256)
             hdim, cdim = 128, 128
             radius, bottleneck = 4, False
-            corr_ch = 4 * (2 * radius + 1) ** 2
-            motion = TVMotionEncoder((256, 192), (128, 64), 128,
-                                     name="update_block.motion_encoder")
-            recurrent = TVRecurrentBlock(hdim,
-                                         name="update_block.recurrent_block")
-            flow_head = TVFlowHead(256, name="update_block.flow_head")
+        update_block = TVUpdateBlock(self.small, name="update_block")
 
         b, h, w, _ = image1.shape
         ph = (8 - h % 8) % 8
@@ -213,8 +279,11 @@ class RAFT(nn.Module):
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
         pyramid = correlation_pyramid(fmap1, fmap2)
 
-        cnet = TVFeatureEncoder(ctx_layers, "batch", bottleneck,
-                                name="context_encoder")(image1)
+        # torchvision: context norm is BatchNorm2d for raft_large, None
+        # for raft_small (original RAFT SmallEncoder norm_fn='none')
+        cnet = TVFeatureEncoder(ctx_layers,
+                                None if self.small else "batch",
+                                bottleneck, name="context_encoder")(image1)
         net, inp = jnp.split(cnet, [hdim], axis=-1)
         net = jnp.tanh(net)
         inp = nn.relu(inp)
@@ -227,26 +296,24 @@ class RAFT(nn.Module):
         coords1 = coords0
 
         if not self.small:
-            mask_c1 = ConvNormAct(256, (3, 3), norm=None,
-                                  name="mask_predictor.convrelu")
-            mask_c2 = nn.Conv(64 * 9, (1, 1), name="mask_predictor.conv")
+            mask_predictor = TVMaskPredictor(name="mask_predictor")
 
         up_mask = None
         for _ in range(self.iters):
             coords1 = jax.lax.stop_gradient(coords1)
             corr = lookup_pyramid(pyramid, coords1, radius=radius)
             flow = coords1 - coords0
-            m = motion(flow, corr)
-            net = recurrent(net, jnp.concatenate([inp, m], axis=-1))
-            delta = flow_head(net)
+            net, delta = update_block(net, inp, flow, corr)
             coords1 = coords1 + delta
             if not self.small:
-                up_mask = 0.25 * mask_c2(mask_c1(net))
+                up_mask = mask_predictor(net)
 
         flow_low = coords1 - coords0
         if self.small:
-            flow_up = 8.0 * jax.image.resize(
-                flow_low, (hb, 8 * h8, 8 * w8, 2), "bilinear")
+            # torchvision upsample_flow(mask=None): F.interpolate(...,
+            # align_corners=True) — NOT the half-pixel convention of
+            # jax.image.resize; exact via separable tent-weight matmuls.
+            flow_up = 8.0 * _upsample_align_corners(flow_low, 8)
         else:
             flow_up = convex_upsample(flow_low, up_mask)
         return flow_up[:, :h, :w, :]

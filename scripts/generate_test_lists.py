@@ -51,29 +51,30 @@ def main():
                     help="fail if any listed h5 is missing")
     args = ap.parse_args()
 
-    missing = []
-
-    def write(fname, paths):
-        path = os.path.join(args.out, fname)
-        with open(path, "w") as f:
-            f.write("\n".join(paths) + "\n")
-        for p in paths:
-            if not os.path.exists(p):
-                missing.append(p)
-        print(f"wrote {path} ({len(paths)} sequences)")
-
+    lists = {}
     for ds, seqs in sequences_by_dataset().items():
-        write(f"{ds.lower()}_test.txt",
-              [os.path.join(args.root, ds, f"{s}.h5") for s in seqs])
-    write("mvsec_test_flow.txt",
-          [os.path.join(args.root, "MVSEC_flow", f"{s}.h5")
-           for s in MVSEC_FLOW])
+        lists[f"{ds.lower()}_test.txt"] = [
+            os.path.join(args.root, ds, f"{s}.h5") for s in seqs]
+    lists["mvsec_test_flow.txt"] = [
+        os.path.join(args.root, "MVSEC_flow", f"{s}.h5")
+        for s in MVSEC_FLOW]
 
+    # validate BEFORE writing: with --check a failure must not leave
+    # configs/ pointing at nonexistent h5 paths
+    missing = [p for paths in lists.values() for p in paths
+               if not os.path.exists(p)]
     if missing:
         print(f"{len(missing)} listed files do not exist under "
               f"{args.root} (first: {missing[0]})")
         if args.check:
+            print("--check: no list files written")
             sys.exit(1)
+
+    for fname, paths in lists.items():
+        path = os.path.join(args.out, fname)
+        with open(path, "w") as f:
+            f.write("\n".join(paths) + "\n")
+        print(f"wrote {path} ({len(paths)} sequences)")
 
 
 if __name__ == "__main__":

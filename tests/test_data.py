@@ -83,6 +83,43 @@ def test_testh5_flow_dataset(tmp_path):
     assert item["events"].shape == (5, 24, 32, 5)
 
 
+def test_voxel_cache_script_and_dataset_roundtrip(tmp_path):
+    """scripts/testh5_to_voxel_cache.py -> TestH5CacheDataset must
+    reproduce TestH5Dataset's frames and voxels exactly (the cache is a
+    pure pre-computation, reference data/testh5.py:383-446)."""
+    import importlib.util
+    import os
+    import sys
+    from v2v_tpu.data.h5 import TestH5CacheDataset
+
+    src = make_hqf_h5(str(tmp_path / "seq_a.h5"))
+    spec = importlib.util.spec_from_file_location(
+        "testh5_to_voxel_cache",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "testh5_to_voxel_cache.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cache = str(tmp_path / "cache" / "seq_a.h5")
+    os.makedirs(os.path.dirname(cache))
+    mod.convert(src, cache, num_bins=5, interpolate=False)
+
+    ref = TestH5Dataset(src, {"sequence_length": 5, "num_bins": 5,
+                              "dataset_name": "hqf"})
+    ds = TestH5CacheDataset(cache, {"sequence_length": 5, "num_bins": 5,
+                                    "dataset_name": "hqf"})
+    assert len(ds) == len(ref) == 3
+    for i in range(len(ds)):
+        a, b = ref[i], ds[i]
+        np.testing.assert_array_equal(a["frame"], b["frame"])
+        np.testing.assert_array_equal(a["events"], b["events"])
+        assert b["sequence_name"] == "seq_a"
+        assert int(b["data_source_idx"]) == int(a["data_source_idx"])
+        np.testing.assert_array_equal(a["frame_idx"], b["frame_idx"])
+    # bin-count mismatch must fail loudly (attrs assert)
+    with pytest.raises(AssertionError):
+        TestH5CacheDataset(cache, {"sequence_length": 5, "num_bins": 9})
+
+
 def test_fps_h5_dataset(tmp_path):
     path = make_hqf_h5(str(tmp_path / "fps.h5"))
     ds = FPSH5Dataset(path, {"sequence_length": 4, "num_bins": 5,

@@ -89,7 +89,15 @@ class TorchBatchNorm(nn.Module):
                 n = 1
                 for a in axes:
                     n *= x.shape[a]
-                unbiased = var * (n / max(n - 1, 1))
+                # torch raises 'Expected more than 1 value per channel
+                # when training'; surface degenerate shapes loudly
+                # instead of silently storing a biased running var
+                if n <= 1:
+                    raise ValueError(
+                        f"TorchBatchNorm: {n} value(s) per channel "
+                        f"(input shape {x.shape}) — torch BatchNorm2d "
+                        f"rejects this in training mode")
+                unbiased = var * (n / (n - 1))
                 m = self.momentum
                 ra_mean.value = ((1 - m) * ra_mean.value.astype(jnp.float32)
                                  + m * mean)

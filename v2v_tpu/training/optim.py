@@ -16,6 +16,23 @@ from typing import Any, Dict
 import optax
 
 
+def _param_mask(params):
+    """Mask BatchNorm running stats ('batch_stats' collection) out of the
+    optimizer: they are buffers installed by the train step, not
+    parameters — without the mask the optimizer would carry dead Adam
+    moments for them and a weight-decay term would transiently decay
+    them before the overwrite."""
+    import jax
+    if not (isinstance(params, dict) and "batch_stats" in params):
+        return jax.tree.map(lambda _: True, params)
+    return {k: jax.tree.map(lambda _: k != "batch_stats", v)
+            for k, v in params.items()}
+
+
+def _masked(opt: optax.GradientTransformation) -> optax.GradientTransformation:
+    return optax.masked(opt, _param_mask)
+
+
 class Optimizer:
     """Factory carrying the config; `.make()` returns the optax
     transformation, `.base_lr` the configured lr."""
@@ -44,7 +61,7 @@ class Adam(Optimizer):
                 # torch Adam's weight_decay is L2 added to the gradient
                 opt = optax.chain(
                     optax.add_decayed_weights(self.weight_decay), opt)
-            return opt
+            return _masked(opt)
 
         return optax.inject_hyperparams(factory)(learning_rate=self.base_lr)
 
@@ -58,8 +75,9 @@ class AdamW(Optimizer):
         wd = self.weight_decay if self.weight_decay else 0.01
 
         def factory(learning_rate):
-            return optax.adamw(learning_rate, b1=betas[0], b2=betas[1],
-                               eps=eps, weight_decay=wd)
+            return _masked(optax.adamw(learning_rate, b1=betas[0],
+                                       b2=betas[1], eps=eps,
+                                       weight_decay=wd))
 
         return optax.inject_hyperparams(factory)(learning_rate=self.base_lr)
 
@@ -73,7 +91,7 @@ class SGD(Optimizer):
             if self.weight_decay:
                 opt = optax.chain(
                     optax.add_decayed_weights(self.weight_decay), opt)
-            return opt
+            return _masked(opt)
 
         return optax.inject_hyperparams(factory)(learning_rate=self.base_lr)
 

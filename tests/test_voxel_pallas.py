@@ -86,6 +86,63 @@ def test_pallas_noise_statistics():
 
 
 @needs_tpu_prng
+def test_fast_gaussian_moments():
+    """The fast Irwin-Hall gaussian (sum of the 4 uniform bytes of one
+    prng word) must have the documented moments: mean 0, variance 1 (by
+    construction of the 147.795 scale), excess kurtosis -6/(5n) = -0.3,
+    and hard truncation at 510/147.795 = 3.4506σ (docs/PERF.md 'RNG
+    economy' — this encodes the 'verified moments on-chip' claim)."""
+    from v2v_tpu.ops.voxel_pallas import sample_gaussian_pallas
+    samples = []
+    for seed in range(8):
+        samples.append(np.asarray(
+            sample_gaussian_pallas(seed, shape=(512, 512))))
+    s = np.concatenate(samples).ravel()          # 2M samples
+    n = s.size
+    assert abs(s.mean()) < 4 / np.sqrt(n)
+    assert abs(s.var() - 1.0) < 0.01
+    kurt = ((s - s.mean()) ** 4).mean() / s.var() ** 2
+    assert abs(kurt - 2.7) < 0.05, kurt          # IH n=4: 3 - 0.3
+    assert np.abs(s).max() <= 3.4506 + 1e-4
+    # quantization: 4 summed bytes take integer values 0..1020
+    grid = s * 147.7950834 + 510.0
+    assert np.abs(grid - np.round(grid)).max() < 1e-3
+
+
+@needs_tpu_prng
+def test_pallas_noise_statistical_parity_vs_numpy():
+    """Event-rate and second-moment parity of the noisy Pallas path
+    against the numpy emulator driven by exact np.random gaussians, over
+    matched (sigma, theta): the fast-gaussian quantization/truncation
+    must be statistically irrelevant for the simulator's output."""
+    b, n, h, w = 1, 201, 128, 128
+    video = np.full((b, n, h, w), 128.0, np.float32)   # static: noise only
+    rng = np.random.RandomState(0)
+    rates = []
+    for i, (sigma, theta) in enumerate(
+            [(0.05, 0.3), (0.1, 0.3), (0.2, 0.3), (0.1, 0.15)]):
+        out_p = np.asarray(simulate_batch_pallas(
+            jnp.asarray(video), jnp.asarray([1000 + i], jnp.int32),
+            _batch_params(b, pos=theta, neg=theta, noise=sigma)))[0]
+        noise = rng.randn(n - 1, h, w).astype(np.float32) * sigma
+        init = rng.rand(h, w).astype(np.float32) * 2 * theta - theta
+        out_n = golden_video_to_voxel(video[0], theta, theta,
+                                      base_noise=noise,
+                                      init_potential=init)
+        rate_p, rate_n = np.abs(out_p).mean(), np.abs(out_n).mean()
+        assert rate_n > 1e-3, (sigma, theta)     # enough events for stats
+        assert abs(rate_p - rate_n) / rate_n < 0.05, \
+            (sigma, theta, rate_p, rate_n)
+        m2_p, m2_n = (out_p ** 2).mean(), (out_n ** 2).mean()
+        assert abs(m2_p - m2_n) / m2_n < 0.08, (sigma, theta, m2_p, m2_n)
+        # signed mean ~ 0: polarity balance
+        assert abs(out_p.mean()) < 0.05 * rate_p + 1e-4
+        rates.append(rate_p)
+    # event-rate curve rises with sigma at fixed theta
+    assert rates[0] < rates[1] < rates[2]
+
+
+@needs_tpu_prng
 def test_pallas_hot_pixels_persistent():
     b, n, h, w = 1, 21, 32, 128
     videos = np.full((b, n, h, w), 128.0, np.float32)

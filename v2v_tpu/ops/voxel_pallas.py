@@ -68,6 +68,24 @@ def _gaussian(shape, fast: bool = True):
     return r * jnp.cos(_TWO_PI * u2)
 
 
+def sample_gaussian_pallas(seed: int, shape=(256, 256), fast: bool = True,
+                           interpret: bool = False) -> Array:
+    """Draw raw samples from the kernel's gaussian generator (the fast
+    Irwin-Hall path by default) for statistical verification — the
+    moment checks in tests/test_voxel_pallas.py run this on TPU."""
+    def kern(seed_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0])
+        out_ref[:] = _gaussian(out_ref.shape, fast)
+
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32))
+
+
 def _sim_kernel(seed_ref, pos_ref, neg_ref, noise_ref, hotfrac_ref,
                 hotstd_ref, video_ref, out_ref, pot_ref, logprev_ref,
                 hot_ref, *, noise_free: bool, fast_gaussian: bool = True):

@@ -1,0 +1,105 @@
+"""Flagship train-step benchmark (sim + E2VID T=40 scan fwd/bwd +
+LPIPS-VGG + L1 + TC with RAFT-small teacher + Adam, B=12, 128^2, bf16)
+— the 0.90 s/step headline in docs/PERF.md, as a repeatable harness.
+
+The RAFT teacher runs with randomly initialized weights (none exist
+offline) — identical compute/memory to pretrained ones.
+
+Usage:
+    timeout 560 python -u scripts/bench_full_step.py \
+        [--lpips-remat full|none] [--remat-policy full|convs]
+        [--chunk N] [--steps 5]
+
+Each step is one fused jit dispatch; warm median wall time with a host
+scalar fetch as the sync (the jit is a single dispatch, so host timing
+is honest here — see .claude/skills/verify/SKILL.md). Loss is printed so
+variants can be checked bit-identical.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lpips-remat", default="full")
+    ap.add_argument("--remat-policy", default="full")
+    ap.add_argument("--chunk", type=int, default=0)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--flow", default="raft_small",
+                    help="raft_small|zeros (teacher ablation)")
+    args = ap.parse_args()
+    if args.chunk:
+        os.environ["V2V_LPIPS_CHUNK"] = str(args.chunk)
+
+    import jax
+    import jax.numpy as jnp
+    from v2v_tpu.ops.voxel import SimConfig
+    from v2v_tpu.training.interface import ModelInterface
+    from v2v_tpu.training.optim import Adam
+    from v2v_tpu.training.steps import make_train_step
+
+    b, t, bins, h, w = 12, 40, 5, 128, 128
+    cfg = {
+        "loss": {"lpips_weight": 1.0, "lpips_type": "vgg",
+                 "lpips_remat": args.lpips_remat, "l1_weight": 1.0,
+                 "temporal_consistency_weight": 1.0,
+                 "temporal_consistency_L0": 20,
+                 "optical_flow_source": args.flow},
+        "normalize_voxels": False,
+        "compute_dtype": "bfloat16",
+        "remat_policy": args.remat_policy,
+        "model": {"target": "model.model.E2VIDRecurrent",
+                  "params": {"unet_kwargs": {
+                      "num_bins": bins, "skip_type": "sum",
+                      "recurrent_block_type": "convlstm",
+                      "num_encoders": 3, "base_num_channels": 32,
+                      "num_residual_blocks": 2, "use_upsample_conv": True,
+                      "final_activation": "", "norm": "none"}}},
+    }
+    if args.flow.startswith("raft"):
+        # random-weight teacher: same compute as pretrained
+        from v2v_tpu.training import raft as raft_mod
+        rm = raft_mod.RAFT(small=args.flow == "raft_small", iters=12)
+        dummy = jnp.zeros((1, 64, 64, 3))
+        rp = rm.init(jax.random.PRNGKey(42), dummy, dummy)
+        raft_mod._cache[args.flow] = (rm, rp)
+
+    iface = ModelInterface(cfg)
+    params, _ = iface.init(jax.random.PRNGKey(0), b, h, w)
+    opt = Adam(lr=1e-4, amsgrad=True).make()
+    opt_state = opt.init(params)
+    step = make_train_step(iface, opt, sim_cfg=SimConfig(), donate=False)
+
+    rng = np.random.RandomState(0)
+    n = t * bins + 1
+    base = rng.randint(0, 255, (b, 1, h, w)).astype(np.float32)
+    drift = np.cumsum(rng.randn(b, n, h, w) * 4, axis=1)
+    video = np.clip(base + drift, 0, 255).astype(np.uint8)
+    batch = {"video": jnp.asarray(video),
+             "data_source_idx": jnp.full((b,), 11, jnp.int32)}
+
+    key = jax.random.PRNGKey(1)
+    params, opt_state, loss, _ = step(params, opt_state, batch, key)
+    print(f"compile ok, first loss {float(loss):.6f}", flush=True)
+    ts = []
+    for i in range(args.steps):
+        t0 = time.perf_counter()
+        params, opt_state, loss, _ = step(params, opt_state, batch, key)
+        l = float(loss)                     # sync
+        ts.append(time.perf_counter() - t0)
+    med = sorted(ts)[len(ts) // 2]
+    print(f"lpips_remat={args.lpips_remat} remat_policy={args.remat_policy}"
+          f" chunk={args.chunk or 'auto'} flow={args.flow}: "
+          f"{med * 1e3:.0f} ms/step (all: "
+          f"{', '.join(f'{x * 1e3:.0f}' for x in ts)}), "
+          f"last loss {l:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

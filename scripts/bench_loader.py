@@ -27,7 +27,7 @@ DEVICE_STEP_S = 0.90          # flagship train step (docs/PERF.md)
 BATCH = 12
 
 
-def make_videos(root, n_videos=4, frames=420, h=256, w=340, fps=24):
+def make_videos(root, n_videos=10, frames=420, h=256, w=340, fps=24):
     names = []
     rng = np.random.RandomState(0)
     for vi in range(n_videos):
@@ -58,7 +58,13 @@ def bench(root, list_path, num_workers, worker_type, n_batches, prefetch):
     loader = DataLoader(ds, BATCH, shuffle=True, num_workers=num_workers,
                         worker_type=worker_type, prefetch=prefetch)
     it = iter(loader)
-    next(it)                                   # warm-up (codec init)
+    # warm-up: codec init AND drain the prefetch buffer, otherwise the
+    # timed window just consumes pre-buffered batches and reads ~0
+    try:
+        for _ in range(1 + prefetch):
+            next(it)
+    except StopIteration:
+        return None
     t0 = time.perf_counter()
     done = 0
     for _ in range(n_batches):
@@ -103,13 +109,13 @@ def main():
                       f"= {clips_s:6.2f} clips/s "
                       f"({clips_s / need_clips_s * 100:5.1f}% of device "
                       f"demand)")
-        per_core = best / max(1, min(ncpu, 4))   # rough: best run's cores
-        print(f"\nscaling math: best measured {best:.2f} clips/s on "
-              f"{ncpu} core(s); to saturate one chip need "
-              f"~{need_clips_s:.1f} clips/s "
-              f"=> ~{need_clips_s / max(best / ncpu, 1e-9):.0f} "
-              f"equivalent cores (assuming linear worker scaling, "
-              f"~{best / ncpu:.2f} clips/s/core)")
+        per_core = best / ncpu
+        print(f"\nscaling math: best steady-state {best:.2f} clips/s on "
+              f"{ncpu} core(s) ({per_core:.2f} clips/s/core); one chip "
+              f"needs {need_clips_s:.1f} clips/s => "
+              f"~{need_clips_s / max(per_core, 1e-9):.1f} cores/chip "
+              f"(synthetic 340x256 mp4v clips; real WebVid H.264 at "
+              f"larger resolutions decodes slower — scale accordingly)")
 
 
 if __name__ == "__main__":

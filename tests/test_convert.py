@@ -20,11 +20,11 @@ UNET_KWARGS = dict(
     use_upsample_conv=True, norm=None)
 
 
-def _torch_model(name, kwargs):
+def _torch_model(name, kwargs, module="model.model"):
     sys.path.insert(0, REFERENCE)
     try:
         import importlib
-        mod = importlib.import_module("model.model")
+        mod = importlib.import_module(module)
         return getattr(mod, name)
     finally:
         sys.path.remove(REFERENCE)
@@ -35,12 +35,13 @@ def _nhwc(x):
 
 
 def _run_parity(torch_cls_name, torch_kwargs, flax_model, steps=3,
-                h=32, w=48, atol=2e-4, key="image", kwargs_style="unet"):
+                h=32, w=48, atol=2e-4, key="image", kwargs_style="unet",
+                module="model.model"):
     import torch
     import jax
     import jax.numpy as jnp
 
-    cls = _torch_model(torch_cls_name, torch_kwargs)
+    cls = _torch_model(torch_cls_name, torch_kwargs, module)
     if kwargs_style == "unet":
         tmodel = cls(dict(torch_kwargs))
     else:                       # FireNet-style flat kwargs
@@ -99,6 +100,47 @@ def test_firenet_parity():
     _run_parity("FireNet", {"num_bins": 5, "base_num_channels": 16,
                             "kernel_size": 3},
                 FireNet(unet_kwargs=kwargs), kwargs_style="flat")
+
+
+def test_wflownet_parity():
+    """W-net: shared encoders, separate image/flow decoder stacks
+    (model/unet.py:66-130)."""
+    from v2v_tpu.models.model import WFlowNet
+    kwargs = dict(UNET_KWARGS)
+    _run_parity("WFlowNet", kwargs, WFlowNet(unet_kwargs=kwargs))
+    _run_parity("WFlowNet", kwargs, WFlowNet(unet_kwargs=kwargs),
+                key="flow")
+
+
+def test_color_e2vid_parity():
+    """UNetFlow(img_3c=True): 3-channel image head
+    (model/model.py:164-192)."""
+    from v2v_tpu.models.model import ColorE2VID
+    kwargs = dict(UNET_KWARGS)
+    _run_parity("ColorE2VID", kwargs, ColorE2VID(unet_kwargs=kwargs))
+
+
+def test_flownet_norecur_parity():
+    """Non-recurrent UNetFlow variant (model/model.py:142-162)."""
+    from v2v_tpu.models.model import FlowNetNoRecur
+    kwargs = dict(UNET_KWARGS)
+    _run_parity("FlowNetNoRecur", kwargs,
+                FlowNetNoRecur(unet_kwargs=kwargs))
+    _run_parity("FlowNetNoRecur", kwargs,
+                FlowNetNoRecur(unet_kwargs=kwargs), key="flow")
+
+
+def test_firenet_legacy_parity():
+    """FireNet_legacy + UNetFire with the BN-heavy legacy layout
+    (model/legacy.py:225-256). BN runs in eval mode (running stats)."""
+    from v2v_tpu.models.legacy import FireNetLegacy
+    cfg = {"num_bins": 5, "base_num_channels": 12,
+           "num_residual_blocks": 2, "kernel_size": 3, "skip_type": "sum",
+           "norm": "BN", "recurrent_block_type": "convgru",
+           "recurrent_blocks": {"resblock": [0]}}
+    _run_parity("FireNet_legacy", {"config": cfg},
+                FireNetLegacy(unet_kwargs=cfg), kwargs_style="flat",
+                module="model.legacy")
 
 
 def test_convgru_variant_parity():

@@ -32,6 +32,17 @@ class RecurrentResidualLayer(nn.Module):
         return cell(x, state)
 
 
+class _PredConv(nn.Module):
+    """1x1 prediction conv in its own scope (torch child `pred.conv2d`)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Conv(self.features, (1, 1),
+                       bias_init=nn.initializers.constant(0.5),
+                       name="conv2d")(x)
+
+
 class UNetFire(nn.Module):
     """(model/legacy.py:103-181)"""
     num_input_channels: int
@@ -70,10 +81,10 @@ class UNetFire(nn.Module):
             x = jnp.concatenate([x, head], axis=-1)
         elif self.skip_type == "sum":
             x = x + head
-        # pred bias initialized to 0.5 (model/legacy.py:146)
-        img = nn.Conv(self.num_output_channels, (1, 1),
-                      bias_init=nn.initializers.constant(0.5),
-                      name="pred.conv2d")(x)
+        # pred bias initialized to 0.5 (model/legacy.py:146); nested
+        # pred/conv2d scope so the converter's path for the torch
+        # `pred.conv2d.weight` key lands here
+        img = _PredConv(self.num_output_channels, name="pred")(x)
         return img, new_states
 
 

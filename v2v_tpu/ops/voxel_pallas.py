@@ -205,6 +205,13 @@ def simulate_batch_pallas(
             pltpu.VMEM((tile_h, w), jnp.float32),   # prev log frame
             pltpu.VMEM((tile_h, w), jnp.float32),   # hot noise
         ],
+        # The 128-row tile's double-buffered blocks sit at ~19 MB, above
+        # the compiler's 16 MB scoped-VMEM default; whether a compile
+        # fits then depends on the surrounding program (the fused train
+        # step tripped it, the standalone kernel did not). Raise the
+        # limit explicitly — v5e VMEM is 128 MB.
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(seeds.astype(jnp.int32),
       params.pos_thres.astype(jnp.float32),

@@ -103,6 +103,43 @@ def test_train_step_data_parallel_mesh():
     np.testing.assert_array_equal(shards[0], shards[-1])
 
 
+def test_flow_train_step_data_parallel_mesh():
+    """Flow task (ERAFT, video mode) over the 8-device mesh: sim +
+    pseudo-GT fill + warm-start carry + update, params stay replicated."""
+    from v2v_tpu.training.flow_interface import FlowModelInterface
+    mesh = make_mesh(8)
+    cfg = {
+        "loss": {"l1_weight": 1.0, "optical_flow_source": "zeros"},
+        "forward_type": "eraft",
+        "model": {"target": "model.eraft.eraft.ERAFT",
+                  "params": {"config": {"subtype": "warm_start"},
+                             "n_first_channels": 5, "iters": 1}},
+    }
+    iface = FlowModelInterface(cfg)
+    b, L, bins, h, w = 8, 1, 5, 32, 32
+    n = (L + 1) * bins + 1
+    params, _ = iface.init(jax.random.PRNGKey(0), b, h, w)
+    opt = Adam(lr=1e-4).make()
+    opt_state = opt.init(params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    rng = np.random.RandomState(0)
+    batch = shard_batch({
+        "video": jnp.asarray(rng.randint(0, 255, (b, n, h, w))
+                             .astype(np.uint8)),
+        "data_source_idx": jnp.full((b,), 11, jnp.int32),
+    }, mesh)
+    step = make_train_step(iface, opt, sim_cfg=SimConfig(),
+                           num_bins=bins, extra_frame=True, extra_evs=True,
+                           donate=False)
+    params2, _, loss, _ = step(params, opt_state, batch,
+                               jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    leaf = jax.tree.leaves(params2)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    np.testing.assert_array_equal(shards[0], shards[-1])
+
+
 def test_shard_batch_process_local_path():
     """Multi-host batch assembly: the make_array_from_process_local_data
     path (forced via process_count>1) must produce the same global array

@@ -32,6 +32,14 @@ if __name__ == "__main__":
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
             os.environ.get("JAX_NUM_PROCESSES"):
         import jax
-        jax.distributed.initialize()
+        # jax.distributed.initialize() only auto-detects on Cloud TPU
+        # pods / Slurm / OMPI; for the generic env-var launch above the
+        # process count and id must be passed explicitly (JAX reads
+        # JAX_COORDINATOR_ADDRESS itself but NOT these two).
+        num = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            num_processes=int(num) if num else None,
+            process_id=int(pid) if pid else None)
     config_path = sys.argv[1] if len(sys.argv) > 1 else "configs/template.yaml"
     main(load_yaml(config_path))

@@ -102,6 +102,10 @@ class LossConfig(NamedTuple):
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "LossConfig":
+        if d.get("lpips_remat", "full") not in ("full", "none"):
+            raise ValueError(
+                f"lpips_remat must be 'full' or 'none', got "
+                f"{d['lpips_remat']!r}")
         if d.get("ssim_weight", 0):
             # the reference ships ssim_loss disabled too: its __call__ is
             # `assert False, "This function causes multi-GPU issues."`

@@ -184,6 +184,38 @@ def test_extract_images_memmap_script(tmp_path):
     assert lines[0].startswith("frame_0000000000.png 0.0")
 
 
+def test_clean_checkpoints_script(tmp_path):
+    """Keeps only the checkpoint named by the LAST ckpt_paths line
+    (reference scripts/clean_checkpoints.py semantics)."""
+    import subprocess
+    import sys
+    (tmp_path / "checkpoints" / "expA").mkdir(parents=True)
+    (tmp_path / "ckpt_paths").mkdir()
+    for i in range(3):
+        (tmp_path / "checkpoints" / "expA" / f"epoch_{i:04d}.msgpack"
+         ).write_bytes(b"x")
+    (tmp_path / "ckpt_paths" / "expA.txt").write_text(
+        "checkpoints/expA/epoch_0000.msgpack\n"
+        "checkpoints/expA/epoch_0002.msgpack\n")
+    script = os.path.join(REPO, "scripts", "clean_checkpoints.py")
+    r = subprocess.run([sys.executable, script, "expA"], cwd=str(tmp_path),
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    left = sorted(p.name for p in (tmp_path / "checkpoints" / "expA").iterdir())
+    assert left == ["epoch_0002.msgpack"], left
+
+
+def test_generate_test_lists_check_writes_nothing_on_failure(tmp_path):
+    """--check must validate BEFORE writing: a failure leaves no list
+    files behind (previously configs/ was left pointing at nonexistent
+    h5 paths)."""
+    r = _run("generate_test_lists.py", "--root", str(tmp_path / "nope"),
+             "--out", str(tmp_path), "--check")
+    assert r.returncode == 1
+    assert not list(tmp_path.glob("*_test*.txt")), \
+        list(tmp_path.glob("*.txt"))
+
+
 def test_generate_test_lists_script(tmp_path):
     r = _run("generate_test_lists.py", "--root", "/data/bench",
              "--out", str(tmp_path))

@@ -27,6 +27,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None,
+                    help="train config YAML: bench its module block + "
+                         "batch size instead of the built-in flagship")
     ap.add_argument("--lpips-remat", default="full")
     ap.add_argument("--remat-policy", default="full")
     ap.add_argument("--chunk", type=int, default=0)
@@ -45,23 +48,44 @@ def main():
     from v2v_tpu.training.steps import make_train_step
 
     b, t, bins, h, w = 12, 40, 5, 128, 128
-    cfg = {
-        "loss": {"lpips_weight": 1.0, "lpips_type": "vgg",
-                 "lpips_remat": args.lpips_remat, "l1_weight": 1.0,
-                 "temporal_consistency_weight": 1.0,
-                 "temporal_consistency_L0": 20,
-                 "optical_flow_source": args.flow},
-        "normalize_voxels": False,
-        "compute_dtype": "bfloat16",
-        "remat_policy": args.remat_policy,
-        "model": {"target": "model.model.E2VIDRecurrent",
-                  "params": {"unet_kwargs": {
-                      "num_bins": bins, "skip_type": "sum",
-                      "recurrent_block_type": "convlstm",
-                      "num_encoders": 3, "base_num_channels": 32,
-                      "num_residual_blocks": 2, "use_upsample_conv": True,
-                      "final_activation": "", "norm": "none"}}},
-    }
+    task = "e2vid"
+    extra_frame = extra_evs = False
+    if args.config:
+        from v2v_tpu.config import load_yaml
+        full = load_yaml(args.config)
+        task = full.get("task", "e2vid")
+        cfg = dict(full["module"])
+        stage = full["train_stages"][0]
+        b = stage["dataset"]["train_batch_size"]
+        dtrain = stage["dataset"]["train"][0]
+        t = dtrain.get("sequence_length", 40)
+        bins = dtrain.get("num_bins", 5)
+        h = w = dtrain.get("crop_size", 128)
+        extra_frame = dtrain.get("output_additional_frame", False)
+        extra_evs = dtrain.get("output_additional_evs", False)
+        args.flow = cfg.get("loss", {}).get("optical_flow_source",
+                                            args.flow)
+        name = os.path.basename(args.config)
+    else:
+        name = "flagship-e2vid"
+        cfg = {
+            "loss": {"lpips_weight": 1.0, "lpips_type": "vgg",
+                     "lpips_remat": args.lpips_remat, "l1_weight": 1.0,
+                     "temporal_consistency_weight": 1.0,
+                     "temporal_consistency_L0": 20,
+                     "optical_flow_source": args.flow},
+            "normalize_voxels": False,
+            "compute_dtype": "bfloat16",
+            "remat_policy": args.remat_policy,
+            "model": {"target": "model.model.E2VIDRecurrent",
+                      "params": {"unet_kwargs": {
+                          "num_bins": bins, "skip_type": "sum",
+                          "recurrent_block_type": "convlstm",
+                          "num_encoders": 3, "base_num_channels": 32,
+                          "num_residual_blocks": 2,
+                          "use_upsample_conv": True,
+                          "final_activation": "", "norm": "none"}}},
+        }
     if args.flow.startswith("raft"):
         # random-weight teacher: same compute as pretrained
         from v2v_tpu.training import raft as raft_mod
@@ -70,14 +94,26 @@ def main():
         rp = rm.init(jax.random.PRNGKey(42), dummy, dummy)
         raft_mod._cache[args.flow] = (rm, rp)
 
-    iface = ModelInterface(cfg)
+    if task == "flow":
+        from v2v_tpu.training.flow_interface import FlowModelInterface
+        iface = FlowModelInterface(cfg)
+    else:
+        iface = ModelInterface(cfg)
     params, _ = iface.init(jax.random.PRNGKey(0), b, h, w)
-    opt = Adam(lr=1e-4, amsgrad=True).make()
+    if args.config:
+        from v2v_tpu.training.train import make_optimizer
+        opt = make_optimizer(stage["optimizer"]).make()
+    else:
+        opt = Adam(lr=1e-4, amsgrad=True).make()
     opt_state = opt.init(params)
-    step = make_train_step(iface, opt, sim_cfg=SimConfig(), donate=False)
+    step = make_train_step(iface, opt, sim_cfg=SimConfig(),
+                           num_bins=bins, extra_frame=extra_frame,
+                           extra_evs=extra_evs, donate=False)
+    step_kwargs = ({"hyper_beta": 0.5}
+                   if getattr(iface, "hyper_epochs", 0) else {})
 
     rng = np.random.RandomState(0)
-    n = t * bins + 1
+    n = (t + (1 if extra_evs else 0)) * bins + 1
     base = rng.randint(0, 255, (b, 1, h, w)).astype(np.float32)
     drift = np.cumsum(rng.randn(b, n, h, w) * 4, axis=1)
     video = np.clip(base + drift, 0, 255).astype(np.uint8)
@@ -85,18 +121,20 @@ def main():
              "data_source_idx": jnp.full((b,), 11, jnp.int32)}
 
     key = jax.random.PRNGKey(1)
-    params, opt_state, loss, _ = step(params, opt_state, batch, key)
+    params, opt_state, loss, _ = step(params, opt_state, batch, key,
+                                      **step_kwargs)
     print(f"compile ok, first loss {float(loss):.6f}", flush=True)
     ts = []
     for i in range(args.steps):
         t0 = time.perf_counter()
-        params, opt_state, loss, _ = step(params, opt_state, batch, key)
+        params, opt_state, loss, _ = step(params, opt_state, batch, key,
+                                          **step_kwargs)
         l = float(loss)                     # sync
         ts.append(time.perf_counter() - t0)
     med = sorted(ts)[len(ts) // 2]
-    print(f"lpips_remat={args.lpips_remat} remat_policy={args.remat_policy}"
-          f" chunk={args.chunk or 'auto'} flow={args.flow}: "
-          f"{med * 1e3:.0f} ms/step (all: "
+    print(f"{name} (B={b}, {t}x{h}x{w}) lpips_remat={args.lpips_remat} "
+          f"remat_policy={args.remat_policy} chunk={args.chunk or 'auto'} "
+          f"flow={args.flow}: {med * 1e3:.0f} ms/step (all: "
           f"{', '.join(f'{x * 1e3:.0f}' for x in ts)}), "
           f"last loss {l:.6f}", flush=True)
 

@@ -65,7 +65,10 @@ def _prefetch_to_device(iterator, mesh, size: int = 2):
         host_meta = {k: item.pop(k) for k in list(item)
                      if not isinstance(item[k], np.ndarray)}
         src_idx = item.get("data_source_idx")
-        dev = shard_batch({k: jnp.asarray(v) for k, v in item.items()}, mesh)
+        # keep host numpy until shard_batch places it: jnp.asarray would
+        # commit to the default device first (and multi-host assembly
+        # needs process-local HOST buffers)
+        dev = shard_batch({k: np.asarray(v) for k, v in item.items()}, mesh)
         return dev, src_idx, host_meta
 
     for item in iterator:

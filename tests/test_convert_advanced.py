@@ -25,10 +25,12 @@ def _nhwc(x):
 
 
 def _convert(tmodel, flax_params):
+    # strict: every flax leaf must be produced by the conversion (extras
+    # like ERAFT's duplicated norm3/downsample.1 keys are allowed)
     from v2v_tpu.models.convert import (torch_state_dict_to_flax,
                                         validate_against)
     converted = torch_state_dict_to_flax(tmodel.state_dict())
-    return validate_against(flax_params, converted, strict=False)
+    return validate_against(flax_params, converted, strict=True)
 
 
 def test_eitr_parity():

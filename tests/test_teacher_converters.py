@@ -352,6 +352,28 @@ def _t_vgg16_features():
 _T_TAPS = {"alex": [1, 4, 7, 9, 11], "vgg": [3, 8, 15, 22, 29]}
 
 
+@pytest.mark.parametrize("net", ["alex", "vgg", "squeeze"])
+def test_shipped_lpips_lin_weights_match_reference_pth(net):
+    """The packaged linear calibration heads (losses/weights/
+    lpips_lin_*.npz) must equal the reference's in-tree v0.1 .pth
+    weights exactly — these tiny heads ARE the LPIPS calibration
+    (PerceptualSimilarity/models/weights/v0.1)."""
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference repo not mounted")
+    import v2v_tpu.losses.lpips as lp
+    pth = os.path.join(REFERENCE, "PerceptualSimilarity", "models",
+                       "weights", "v0.1", f"{net}.pth")
+    sd = torch.load(pth, map_location="cpu", weights_only=False)
+    shipped = np.load(os.path.join(os.path.dirname(lp.__file__),
+                                   "weights", f"lpips_lin_{net}.npz"))
+    assert len(shipped.files) == len(sd)
+    for i in range(len(sd)):
+        want = sd[f"lin{i}.model.1.weight"].numpy().reshape(-1)
+        got = shipped[f"lin{i}"]
+        np.testing.assert_array_equal(got, want)
+        assert got.min() >= 0.0     # heads are stored non-negative
+
+
 @pytest.mark.parametrize("net", ["alex", "vgg"])
 def test_lpips_trunk_converter_schema_and_parity(net, tmp_path):
     import jax

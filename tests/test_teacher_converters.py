@@ -352,6 +352,29 @@ def _t_vgg16_features():
 _T_TAPS = {"alex": [1, 4, 7, 9, 11], "vgg": [3, 8, 15, 22, 29]}
 
 
+def test_shipped_metric_reference_table_matches_reference():
+    """eval/metric_references.json (the beat_method regression table)
+    must equal the reference's hardcoded table digit for digit
+    (utils/metric_references.py:125-206) — a wrong entry silently skews
+    every benchmark comparison."""
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference repo not mounted")
+    import json
+    mod = _ref_import("utils.metric_references")
+    import v2v_tpu.eval as ev
+    with open(os.path.join(os.path.dirname(ev.__file__),
+                           "metric_references.json")) as f:
+        shipped = json.load(f)
+    want = mod.metric_references
+    assert set(shipped) == set(want)
+    for method in want:
+        assert set(shipped[method]) == set(want[method]), method
+        for seq in want[method]:
+            for metric, val in want[method][seq].items():
+                assert shipped[method][seq][metric] == val, \
+                    (method, seq, metric)
+
+
 @pytest.mark.parametrize("net", ["alex", "vgg", "squeeze"])
 def test_shipped_lpips_lin_weights_match_reference_pth(net):
     """The packaged linear calibration heads (losses/weights/

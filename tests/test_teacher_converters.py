@@ -352,6 +352,22 @@ def _t_vgg16_features():
 _T_TAPS = {"alex": [1, 4, 7, 9, 11], "vgg": [3, 8, 15, 22, 29]}
 
 
+@pytest.mark.parametrize("ks", [3, 5, 7])
+def test_shipped_fourier_bessel_bases_match_reference(ks):
+    """HyperE2VID's multiscale Fourier-Bessel bases ship as data
+    (models/weights/fourier_bessel_bases.npz); they must equal what the
+    reference computes from its bessel.npy (model/hyper/
+    fourier_bessel.py:bases_list)."""
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference repo not mounted")
+    mod = _ref_import("model.hyper.fourier_bessel")
+    import v2v_tpu.models as vm
+    shipped = np.load(os.path.join(os.path.dirname(vm.__file__), "weights",
+                                   "fourier_bessel_bases.npz"))
+    want = mod.bases_list(ks, 6).numpy()
+    np.testing.assert_allclose(shipped[f"ks{ks}"], want, atol=1e-6)
+
+
 def test_shipped_metric_reference_table_matches_reference():
     """eval/metric_references.json (the beat_method regression table)
     must equal the reference's hardcoded table digit for digit

@@ -83,6 +83,43 @@ def test_testh5_flow_dataset(tmp_path):
     assert item["events"].shape == (5, 24, 32, 5)
 
 
+def test_thread_loader_early_abandon_stops_workers(tmp_path):
+    """Abandoning iteration early (the harness's max_batches break) must
+    stop the worker threads instead of leaving them blocked in
+    out_q.put() holding full batches."""
+    import gc
+    import threading
+    import time
+
+    class _Counting:
+        def __init__(self):
+            self.served = 0
+
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            self.served += 1
+            return {"x": np.zeros(4, np.float32)}
+
+    ds = _Counting()
+    before = threading.active_count()
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=3,
+                        prefetch=2)
+    it = iter(loader)
+    next(it)
+    next(it)
+    del it                       # abandon mid-iteration
+    gc.collect()                 # generator close() -> finally -> stop
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() == before
+    served_at_stop = ds.served
+    time.sleep(0.3)
+    assert ds.served == served_at_stop       # no background progress
+
+
 def test_voxel_cache_script_and_dataset_roundtrip(tmp_path):
     """scripts/testh5_to_voxel_cache.py -> TestH5CacheDataset must
     reproduce TestH5Dataset's frames and voxels exactly (the cache is a

@@ -48,6 +48,49 @@ def test_temporal_consistency_clamp_blocks_exploit():
     assert float(tc) < 1.0 and np.isfinite(float(tc))
 
 
+def test_warp_losses_match_reference_torch():
+    """warping_flow_loss and voxel_warping_flow_loss pinned against the
+    reference torch originals (utils/loss.py:72-159): the reference's
+    channel-swap + un-transposed-meshgrid + [y,x]-stack quirks cancel to
+    a standard x=ch0/y=ch1 warp with align_corners=False sampling —
+    square inputs only (its meshgrid broadcast requires W == H)."""
+    import os
+    import sys
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    import torch
+    sys.path.insert(0, "/root/reference")
+    try:
+        import importlib
+        ref = importlib.import_module("utils.loss")
+    finally:
+        sys.path.remove("/root/reference")
+
+    rng = np.random.RandomState(0)
+    h = w = 24
+    img0 = rng.rand(2, 1, h, w).astype(np.float32)
+    img1 = rng.rand(2, 1, h, w).astype(np.float32)
+    flow = (rng.randn(2, 2, h, w) * 2).astype(np.float32)
+
+    want = float(ref.warping_flow_loss(torch.tensor(img0),
+                                       torch.tensor(img1),
+                                       torch.tensor(flow)))
+    got = float(L.warping_flow_loss(
+        jnp.asarray(img0.transpose(0, 2, 3, 1)),
+        jnp.asarray(img1.transpose(0, 2, 3, 1)),
+        jnp.asarray(flow.transpose(0, 2, 3, 1))))
+    assert abs(want - got) < 1e-5, (want, got)
+
+    voxel = rng.randn(2, 5, h, w).astype(np.float32)
+    want_v = float(ref.voxel_warping_flow_loss(torch.tensor(voxel),
+                                               torch.tensor(flow)))
+    got_v = float(L.voxel_warping_flow_loss(
+        jnp.asarray(voxel.transpose(0, 2, 3, 1)),
+        jnp.asarray(flow.transpose(0, 2, 3, 1))))
+    assert abs(want_v - got_v) < 1e-4 * max(1.0, abs(want_v)), \
+        (want_v, got_v)
+
+
 def test_lpips_basic_properties():
     d = LPIPS("alex")
     a = jnp.asarray(np.random.rand(2, 64, 64, 1).astype(np.float32))

@@ -169,20 +169,31 @@ def _bilinear_np(img: np.ndarray, gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
 
 
 class RobustNorm:
-    """Percentile min/max scaling (utils/data_augmentation.py:134-185)."""
+    """Percentile clamp + rescale (utils/data_augmentation.py:134-185).
+
+    Torch-exact: percentiles use kthvalue semantics
+    (k = 1 + round(q/100 * (n-1)), no interpolation), and the rescale is
+    (clamped - min(clamped)) / (max(clamped) + eps) — the reference does
+    NOT divide by the (max - min) range."""
 
     def __init__(self, low_perc: float = 0, top_perc: float = 95):
         self.low_perc = low_perc
         self.top_perc = top_perc
 
+    @staticmethod
+    def percentile(x, q) -> float:
+        flat = np.asarray(x).reshape(-1)
+        k = 1 + round(0.01 * float(q) * (flat.size - 1))
+        return float(np.partition(flat, k - 1)[k - 1])
+
     def __call__(self, x, is_flow: bool = False):
-        t_max = np.percentile(x, self.top_perc)
-        t_min = np.percentile(x, self.low_perc)
+        t_max = self.percentile(x, self.top_perc)
+        t_min = self.percentile(x, self.low_perc)
         if t_max == 0 and t_min == 0:
             return x
         eps = 1e-6
         normed = np.clip(x, t_min, t_max)
-        return (normed - t_min) / (t_max - t_min + eps)
+        return (normed - normed.min()) / (normed.max() + eps)
 
 
 class LegacyNorm:

@@ -131,12 +131,10 @@ class DataLoader:
         task_q: "queue.Queue" = queue.Queue()
         for pos, bidx in enumerate(batches):
             task_q.put((pos, bidx))
-
-        results: Dict[int, Any] = {}
-        lock = threading.Lock()
+        stop = threading.Event()     # consumer abandoned iteration
 
         def worker():
-            while True:
+            while not stop.is_set():
                 try:
                     pos, bidx = task_q.get_nowait()
                 except queue.Empty:
@@ -145,26 +143,46 @@ class DataLoader:
                     batch = collate([self.dataset[int(i)] for i in bidx])
                 except Exception as e:       # surface errors to consumer
                     batch = e
-                out_q.put((pos, batch))
+                # bounded put that re-checks the stop flag: a worker
+                # blocked forever in put() leaks the thread AND up to
+                # `prefetch` collated batches every time the consumer
+                # breaks early (harness max_batches, exceptions, ...)
+                while not stop.is_set():
+                    try:
+                        out_q.put((pos, batch), timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
 
-        next_pos = 0
-        received = 0
-        while received < nb:
-            pos, batch = out_q.get()
-            received += 1
-            with lock:
+        results: Dict[int, Any] = {}
+        try:
+            next_pos = 0
+            received = 0
+            while received < nb:
+                pos, batch = out_q.get()
+                received += 1
                 results[pos] = batch
-            while next_pos in results:
-                b = results.pop(next_pos)
-                next_pos += 1
-                if isinstance(b, Exception):
-                    raise b
-                yield b
+                while next_pos in results:
+                    b = results.pop(next_pos)
+                    next_pos += 1
+                    if isinstance(b, Exception):
+                        raise b
+                    yield b
+        finally:
+            stop.set()
+            # drain so blocked putters wake promptly
+            while True:
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+            for t in threads:
+                t.join(timeout=5)
 
     def _process_iter(self, batches) -> Iterator[Dict[str, Any]]:
         """Forked worker pool: each worker collates whole batches and

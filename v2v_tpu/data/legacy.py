@@ -403,7 +403,13 @@ class SequenceDataset:
         if self.hot_pixel_kwargs:
             add_hot_pixels_to_sequence_(sequence, **self.hot_pixel_kwargs)
         if self.normalize_image:
+            # sequence-wide 1st/99th percentile rescale + clamp, one
+            # constant mapping for the whole window (reference
+            # normalize_image_sequence_, utils/data_augmentation.py:26-33)
+            frames = np.stack([item["frame"] for item in sequence])
+            mini = np.percentile(frames, 1)
+            maxi = np.percentile(frames, 99)
             for item in sequence:
-                f = item["frame"]
-                item["frame"] = (f - f.min()) / max(f.max() - f.min(), 1e-5)
+                item["frame"] = np.clip(
+                    (item["frame"] - mini) / (maxi - mini + 1e-5), 0, 1)
         return sequence

@@ -65,9 +65,11 @@ def run_test(iface: FlowModelInterface, params, configs: Dict[str, Any],
         # align events/gt with flow outputs (eraft drops the first voxel)
         ev = np.asarray(batch["events"])[:, -t_out:]
         gt = np.asarray(batch["flow"])[:, -t_out:]
+        # accumulate every computed metric (the CSV writer later selects
+        # the registry columns; test_metrics.txt keeps everything —
+        # matches test_flow.py, which never filters here)
         for k, v in flow_metrics(pred, gt, ev, prefix).items():
-            if k in ALL_FLOW_METRIC_NAMES or True:
-                all_metrics[k] += v
+            all_metrics[k] += v
 
         if output_dir is not None:
             import cv2

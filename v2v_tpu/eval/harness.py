@@ -93,6 +93,9 @@ def run_test(iface: ModelInterface, params, configs: Dict[str, Any],
     from concurrent.futures import ThreadPoolExecutor
     metric_pool = ThreadPoolExecutor(max_workers=4)
     metric_futures = []
+    # build the lazy LPIPS on the main thread first: the property has no
+    # lock, and racing futures would each construct a full LPIPS('alex')
+    _ = iface.lpips_test
 
     for batch_idx, batch in enumerate(loader):
         if max_batches is not None and batch_idx >= max_batches:

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.warp import warp_by_flow, warp_by_flow_mxu
+from ..ops.warp import warp_by_flow_mxu
 
 Array = jax.Array
 
@@ -63,10 +63,29 @@ def temporal_consistency_loss(
     return _reduce(tc_map, reduce_batch)
 
 
+def _align_corners_false_flow(flow: Array, h: int, w: int) -> Array:
+    """Fold torch grid_sample(align_corners=False) semantics into a flow
+    field for our align_corners=True warp.
+
+    The reference's warping_flow / voxel_warping losses build grids with
+    (size-1)-normalization but call F.grid_sample WITHOUT
+    align_corners=True (utils/loss.py:105,146 — unlike the TC loss at
+    :42,47), so the effective sample point for intended coordinate c is
+    c*S/(S-1) - 0.5 per axis, not c. Reproduced exactly here."""
+    fx, fy = flow[..., 0], flow[..., 1]
+    jj = jnp.arange(w, dtype=flow.dtype)[None, None, :]
+    ii = jnp.arange(h, dtype=flow.dtype)[None, :, None]
+    fx = jj / (w - 1) - 0.5 + fx * (w / (w - 1))
+    fy = ii / (h - 1) - 0.5 + fy * (h / (h - 1))
+    return jnp.stack([fx, fy], axis=-1)
+
+
 def warping_flow_loss(image0: Array, image1: Array, flow01: Array) -> Array:
     """Photometric warp error for self-supervised flow
-    (reference utils/loss.py:72-111)."""
-    image0_warped = warp_by_flow_mxu(image0, flow01)
+    (reference utils/loss.py:72-111; align_corners=False there)."""
+    b, h, w, _ = image0.shape
+    image0_warped = warp_by_flow_mxu(
+        image0, _align_corners_false_flow(flow01, h, w))
     return jnp.abs(image1 - image0_warped).mean()
 
 
@@ -77,20 +96,24 @@ def voxel_warping_flow_loss(voxel: Array, displacement: Array,
     forward + reverse passes (reference utils/loss.py:114-159).
 
     voxel: (B,H,W,C bins); displacement: (B,H,W,2).
-    NOTE the reference swaps flow channels here (displacement_x taken
-    from channel 1, utils/loss.py:131-132); kept for parity.
-    """
+
+    The reference's channel swap (displacement_x from channel 1,
+    utils/loss.py:131-132), its un-transposed square-only meshgrid, and
+    its [y, x] grid stacking CANCEL: the net behavior is the standard
+    x=ch0 / y=ch1 warp (with align_corners=False sampling), which is
+    what runs here — pinned against the torch original in
+    tests/test_losses_ops.py."""
     def one_direction(disp, reverse):
-        c = voxel.shape[-1]
+        b, h, w, c = voxel.shape
         increment = 1.0 / (c - 1.0)
         warped_sum = jnp.zeros(voxel.shape[:-1] + (1,), voxel.dtype)
         for i in range(c):
             ratio = (1.0 - i * increment) if reverse else i * increment
-            flow = jnp.stack([disp[..., 1] * ratio, disp[..., 0] * ratio],
-                             axis=-1)
+            flow = _align_corners_false_flow(disp * ratio, h, w)
             warped = warp_by_flow_mxu(voxel[..., i:i + 1], flow)
             warped_sum = warped_sum + warped
-        return -jnp.var(warped_sum)
+        # torch Tensor.var() is UNBIASED by default (utils/loss.py:149)
+        return -jnp.var(warped_sum, ddof=1)
 
     loss = one_direction(displacement, False)
     loss = loss + one_direction(-displacement, True)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -158,18 +159,25 @@ class ModelInterface:
             # loss would trace its parameter initialization
             _ = self.lpips_train
 
-    # -- lazily built LPIPS instances (heavy) ---------------------------
+    # -- lazily built LPIPS instances (heavy; lock: the eval harness
+    # touches these from metric-pool threads) --------------------------
+    _lpips_lock = threading.Lock()
+
     @property
     def lpips_train(self) -> LPIPS:
         if self._lpips_train is None:
-            self._lpips_train = LPIPS(self.loss_cfg.lpips_type)
+            with self._lpips_lock:
+                if self._lpips_train is None:
+                    self._lpips_train = LPIPS(self.loss_cfg.lpips_type)
         return self._lpips_train
 
     @property
     def lpips_test(self) -> LPIPS:
         # test metric is always AlexNet (train_utils.py:198)
         if self._lpips_test is None:
-            self._lpips_test = LPIPS("alex")
+            with self._lpips_lock:
+                if self._lpips_test is None:
+                    self._lpips_test = LPIPS("alex")
         return self._lpips_test
 
     # -- params/state ---------------------------------------------------

@@ -84,6 +84,39 @@ def test_warp_events_by_flow():
     np.testing.assert_allclose(wy, [0.5, 1.0])
 
 
+def test_warp_events_by_flow_matches_reference_bilinear():
+    """Flow is sampled bilinearly at sub-pixel event positions (the
+    reference uses grid_sample with align_corners=True,
+    utils/event_utils.py:574-616)."""
+    import os
+    import sys
+    if not os.path.isdir("/root/reference"):
+        return
+    import torch
+    from v2v_tpu.ops.events import warp_events_by_flow
+    sys.path.insert(0, "/root/reference")
+    try:
+        import importlib
+        ref = importlib.import_module("utils.event_utils")
+    finally:
+        sys.path.remove("/root/reference")
+    rng = np.random.RandomState(0)
+    h, w, n = 12, 16, 40
+    flow = rng.randn(h, w, 2).astype(np.float32)
+    xs = (rng.rand(n) * (w - 1)).astype(np.float32)
+    ys = (rng.rand(n) * (h - 1)).astype(np.float32)
+    ts = rng.rand(n).astype(np.float32)
+    wx_t, wy_t = ref.warp_events_flow_torch(
+        torch.tensor(xs), torch.tensor(ys), torch.tensor(ts),
+        torch.ones(n), torch.tensor(flow.transpose(2, 0, 1)),
+        t0=torch.tensor(0.0))
+    wx, wy = warp_events_by_flow(jnp.asarray(xs), jnp.asarray(ys),
+                                 jnp.asarray(ts), jnp.asarray(flow),
+                                 jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(wx), wx_t.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wy), wy_t.numpy(), atol=1e-4)
+
+
 def test_binary_search_h5(tmp_path):
     from v2v_tpu.ops.events import binary_search_h5_dset
     path = str(tmp_path / "bs.h5")

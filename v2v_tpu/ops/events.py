@@ -143,14 +143,31 @@ def warp_events_by_flow(xs: Array, ys: Array, ts: Array, flow: Array,
                         t_ref: Array) -> Tuple[Array, Array]:
     """Advect events along a flow field to a reference time
     (warp_events_flow_torch, utils/event_utils.py:574-616): each event at
-    (x, y, t) moves by flow(x, y) * (t - t_ref). flow is (H, W, 2)."""
+    (x, y, t) moves by flow(x, y) * (t - t_ref). flow is (H, W, 2).
+
+    The flow is sampled BILINEARLY at the (sub-pixel) event position
+    with zero padding out of range — the reference uses grid_sample
+    with align_corners=True and (size-1)-normalized indices, i.e. exact
+    pixel coordinates."""
     h, w, _ = flow.shape
-    xi = jnp.clip(xs.astype(jnp.int32), 0, w - 1)
-    yi = jnp.clip(ys.astype(jnp.int32), 0, h - 1)
-    fx = flow[yi, xi, 0]
-    fy = flow[yi, xi, 1]
-    dt = ts - t_ref
-    return xs + fx * dt, ys + fy * dt
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    tx = (xs - x0)[:, None]
+    ty = (ys - y0)[:, None]
+
+    def tap(yy, xx):
+        inb = ((xx >= 0) & (xx <= w - 1) & (yy >= 0) & (yy <= h - 1))
+        xi = jnp.clip(xx.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(yy.astype(jnp.int32), 0, h - 1)
+        return jnp.where(inb[:, None], flow[yi, xi], 0.0)
+
+    f = (tap(y0, x0) * (1 - tx) * (1 - ty)
+         + tap(y0, x0 + 1) * tx * (1 - ty)
+         + tap(y0 + 1, x0) * (1 - tx) * ty
+         + tap(y0 + 1, x0 + 1) * tx * ty)
+    dt = (ts - t_ref)[:, None]
+    warped = f * dt
+    return xs + warped[:, 0], ys + warped[:, 1]
 
 
 @functools.partial(jax.jit, static_argnames=("num_bins", "height", "width"))

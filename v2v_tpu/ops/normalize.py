@@ -45,12 +45,19 @@ def normalize_nobias(x: Array) -> Array:
 
 
 def robust_norm(x: Array, low_perc: float = 0.0, top_perc: float = 95.0) -> Array:
-    """RobustNorm: percentile min/max scaling
-    (utils/data_augmentation.py:134-185)."""
+    """RobustNorm, torch-exact (utils/data_augmentation.py:134-185):
+    kthvalue nearest-rank percentiles, clamp, then
+    (clamped - min(clamped)) / (max(clamped) + 1e-6) — the reference
+    does NOT divide by the range. Device twin of
+    data/augmentation.py:RobustNorm."""
     flat = x.reshape(-1)
-    lo = jnp.percentile(flat, low_perc)
-    hi = jnp.percentile(flat, top_perc)
-    return jnp.clip((x - lo) / (hi - lo + 1e-9), 0.0, 1.0)
+    n = flat.shape[0]
+    lo = _kth_smallest(flat, 1 + round(0.01 * low_perc * (n - 1)))
+    hi = _kth_smallest(flat, 1 + round(0.01 * top_perc * (n - 1)))
+    normed = jnp.clip(x, lo, hi)
+    out = (normed - normed.min()) / (normed.max() + 1e-6)
+    # reference early-returns x untouched when both percentiles are 0
+    return jnp.where((hi == 0) & (lo == 0), x, out)
 
 
 def legacy_norm(x: Array) -> Array:

@@ -149,14 +149,22 @@ def _sim_kernel(seed_ref, pos_ref, neg_ref, noise_ref, hotfrac_ref,
 
 
 def _auto_tile_h(h: int, w: int) -> int:
-    """Largest row-tile that divides H and keeps the output block within
-    the ~16 MB scoped-VMEM budget (double-buffered, bf16 counts).
+    """Largest row-tile that divides H within the VMEM block budget.
     Bigger tiles amortize the per-frame loop overhead: 16->64 rows
-    measured 5060->7740 clips/s at 128^2."""
+    measured 5060->7740 clips/s at 128^2. Prefers multiple-of-8 tiles
+    (f32 sublane packing); falls back to ANY divisor so sensor
+    resolutions like 180 rows still run, and raises a clear error when
+    no tile fits (callers should use the esim_video_to_voxel scan
+    path then, as the train-step gate _pallas_ok does)."""
     for tile in (128, 64, 32, 16, 8):
         if h % tile == 0 and tile * w <= 16384:
             return tile
-    return 8
+    for tile in range(min(h, 16384 // max(w, 1)), 0, -1):
+        if h % tile == 0:
+            return tile
+    raise ValueError(
+        f"no feasible row tile for H={h}, W={w} (W too wide for the "
+        f"VMEM block budget); use the jnp scan simulator instead")
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "noise_free",

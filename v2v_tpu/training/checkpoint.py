@@ -31,15 +31,24 @@ def save_checkpoint(path: str, params: Any, opt_state: Any, epoch: int,
 def load_checkpoint(path: str, params_template: Any,
                     opt_state_template: Any = None
                     ) -> Tuple[Any, Any, Dict[str, Any]]:
+    """Restore params + meta; opt_state comes back as None when it does
+    not fit `opt_state_template` (e.g. resuming into a stage with a
+    different optimizer — the reference tolerates this the same way by
+    re-creating the optimizer, train.py:238-242)."""
     with open(path, "rb") as f:
-        data = f.read()
-    template = {
-        "params": params_template,
-        "opt_state": opt_state_template,
-        "meta": {"epoch": 0},
-    }
-    restored = serialization.from_bytes(template, data)
-    return restored["params"], restored["opt_state"], restored["meta"]
+        state = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(params_template,
+                                           state["params"])
+    meta = dict(state.get("meta", {}))
+    meta.setdefault("epoch", 0)
+    opt_state = None
+    if opt_state_template is not None and state.get("opt_state") is not None:
+        try:
+            opt_state = serialization.from_state_dict(
+                opt_state_template, state["opt_state"])
+        except Exception:
+            opt_state = None     # stage optimizer changed; start fresh
+    return params, opt_state, meta
 
 
 def load_params_only(path: str, params_template: Any) -> Any:

@@ -37,8 +37,10 @@ class Optimizer:
     """Factory carrying the config; `.make()` returns the optax
     transformation, `.base_lr` the configured lr."""
 
-    def __init__(self, lr: float, weight_decay: float = 0.0, **kwargs):
+    def __init__(self, lr: float, weight_decay: float = None, **kwargs):
         self.base_lr = lr
+        # None = "not configured" (each optimizer applies ITS torch
+        # default); an explicit 0 must stay 0
         self.weight_decay = weight_decay
         self.kwargs = kwargs
 
@@ -72,7 +74,9 @@ class AdamW(Optimizer):
     def make(self) -> optax.GradientTransformation:
         betas = self.kwargs.get("betas", (0.9, 0.999))
         eps = self.kwargs.get("eps", 1e-8)
-        wd = self.weight_decay if self.weight_decay else 0.01
+        # torch AdamW defaults weight_decay to 0.01 when unset, but an
+        # explicitly configured 0 must remain 0
+        wd = 0.01 if self.weight_decay is None else self.weight_decay
 
         def factory(learning_rate):
             return _masked(optax.adamw(learning_rate, b1=betas[0],
@@ -124,14 +128,22 @@ class StepLR(Scheduler):
 
 
 class CosineAnnealingLR(Scheduler):
+    """torch closed form: lr = eta_min + (base - eta_min)
+    * (1 + cos(pi*epoch/T_max)) / 2 — eta_min is an ABSOLUTE learning
+    rate; the train loop injects base_lr so the returned multiplier is
+    lr/base_lr. The cosine continues past T_max (torch recurs back up;
+    no clamping)."""
+
     def __init__(self, T_max: int, eta_min: float = 0.0, **_):
         self.t_max = T_max
         self.eta_min = eta_min
+        self.base_lr = None      # set by the train loop (optimizer lr)
 
     def __call__(self, epoch: int) -> float:
-        return (self.eta_min
-                + (1 - self.eta_min)
-                * 0.5 * (1 + math.cos(math.pi * min(epoch, self.t_max) / self.t_max)))
+        base = self.base_lr if self.base_lr else 1.0
+        ratio = self.eta_min / base
+        return (ratio + (1 - ratio)
+                * 0.5 * (1 + math.cos(math.pi * epoch / self.t_max)))
 
 
 class ExponentialLR(Scheduler):

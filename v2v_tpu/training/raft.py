@@ -352,10 +352,11 @@ def raft_flow(source: str, frames: Array, l0: int = 1,
     (no gradients flow through it, steps.py calls it outside loss_fn) and
     it dominates the train step otherwise. Pass compute_dtype=None for
     f32."""
-    if source not in _cache:
+    cache_key = (source, num_flow_updates)
+    if cache_key not in _cache:
         model = RAFT(small=source == "raft_small", iters=num_flow_updates)
-        _cache[source] = (model, _load_params(source, model))
-    model, params = _cache[source]
+        _cache[cache_key] = (model, _load_params(source, model))
+    model, params = _cache[cache_key]
     b, t, h, w, c = frames.shape
     if t <= l0:
         raise ValueError(

@@ -53,6 +53,24 @@ def make_scheduler(cfg: Dict[str, Any]):
     return cls(**cfg.get("params", {}))
 
 
+def _host_local(v) -> np.ndarray:
+    """Fetch the host-addressable part of a (possibly multi-host) array:
+    the full value for scalars/replicated leaves, this host's rows for
+    batch-sharded leaves. np.asarray on a global array that spans
+    non-addressable devices raises; per-sample aux must also align with
+    the HOST-LOCAL data_source_idx for per-source logging."""
+    if isinstance(v, jax.Array) and not v.is_fully_addressable:
+        shards = list(v.addressable_shards)
+        if v.ndim == 0:
+            return np.asarray(shards[0].data)
+        rows = {}
+        for s in shards:                   # dedupe replicated shards
+            start = s.index[0].start or 0
+            rows.setdefault(start, np.asarray(s.data))
+        return np.concatenate([rows[k] for k in sorted(rows)])
+    return np.asarray(v)
+
+
 def _prefetch_to_device(iterator, mesh, size: int = 2):
     """Double-buffered host->device prefetch: keep `size` sharded batches
     in flight so decode/collate overlaps device compute (the reference
@@ -142,6 +160,7 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
     cur_epoch = 0
     just_resumed = False
     pending_opt_state = None
+    pending_sched_state = None
     key = jax.random.PRNGKey(configs.get("seed", 0))
 
     # decide start stage from cumulative epochs (train.py:216-222)
@@ -204,14 +223,19 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
         optimizer = optimizer_spec.make()
         scheduler = make_scheduler(stage_cfg["lr_scheduler"]) \
             if "lr_scheduler" in stage_cfg else None
+        if scheduler is not None and hasattr(scheduler, "base_lr"):
+            # CosineAnnealingLR's eta_min is an absolute LR (torch
+            # semantics); it needs the base LR to return a multiplier
+            scheduler.base_lr = optimizer_spec.base_lr
         opt_state = optimizer.init(params)
 
         if checkpoint_path is not None and not just_resumed:
             params, loaded_opt_state, meta = load_checkpoint(
                 checkpoint_path, params, opt_state)
-            cur_epoch = meta["epoch"] + 1
+            cur_epoch = int(meta["epoch"]) + 1
             just_resumed = True
             pending_opt_state = loaded_opt_state
+            pending_sched_state = meta.get("scheduler")
             print(f"Resumed from {checkpoint_path} at epoch {cur_epoch}")
 
         if stage_of_epoch(cur_epoch) > stage_idx:
@@ -225,6 +249,16 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                     == jax.tree.structure(opt_state)):
                 opt_state = pending_opt_state
             pending_opt_state = None
+        if just_resumed and scheduler is not None and \
+                pending_sched_state:
+            # stateful schedulers (ReduceLROnPlateau) persist their
+            # accumulated decay across resume (reference pickles the
+            # whole lr_scheduler object, train.py:146-151,240-242)
+            try:
+                scheduler.load_state_dict(
+                    {k: float(v) for k, v in pending_sched_state.items()})
+            except Exception:
+                pass
 
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
@@ -279,16 +313,18 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                     # (model/train_utils.py:90-113,178-179); for
                     # per-op localization run with JAX_DEBUG_NANS=1
                     if configs.get("check_finite", True) and \
-                            not np.isfinite(float(loss)):
+                            not np.isfinite(float(_host_local(loss))):
                         raise FloatingPointError(
                             f"non-finite loss at epoch {global_epoch} "
-                            f"batch {batch_idx}: {float(loss)} "
-                            f"(pred range [{float(aux['pred_min_val'])}, "
-                            f"{float(aux['pred_max_val'])}], grad norm "
-                            f"{float(aux['grad_norm'])}); rerun with "
-                            f"JAX_DEBUG_NANS=1 to localize")
+                            f"batch {batch_idx}: "
+                            f"{float(_host_local(loss))} (pred range "
+                            f"[{float(_host_local(aux['pred_min_val']))}, "
+                            f"{float(_host_local(aux['pred_max_val']))}], "
+                            f"grad norm "
+                            f"{float(_host_local(aux['grad_norm']))}); "
+                            f"rerun with JAX_DEBUG_NANS=1 to localize")
                     logs = aggregate_per_source(
-                        {k: np.asarray(v) for k, v in aux.items()},
+                        {k: _host_local(v) for k, v in aux.items()},
                         np.asarray(src_idx))
                     step = (global_epoch * max(len(train_loader), 1)
                             + batch_idx)
@@ -301,7 +337,8 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                               f"loss={logs.get('loss', float('nan')):.4f} "
                               f"({rate:.2f} steps/s)", flush=True)
             dt = time.time() - t0
-            last_loss = float(loss) if n_batches else float("nan")
+            last_loss = (float(_host_local(loss)) if n_batches
+                         else float("nan"))
             print(f"Stage {stage_idx}, epoch {global_epoch}: "
                   f"{n_batches} steps in {dt:.1f}s, loss={last_loss:.4f}")
 
@@ -354,10 +391,14 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                 if process_index == 0:
                     ckpt_path = os.path.join(
                         ckpt_dir, f"epoch_{global_epoch:04d}.msgpack")
+                    sched_state = (scheduler.state_dict()
+                                   if scheduler is not None else {})
                     save_checkpoint(ckpt_path,
-                                    jax.tree.map(np.asarray, params),
-                                    jax.tree.map(np.asarray, opt_state),
-                                    global_epoch)
+                                    jax.tree.map(_host_local, params),
+                                    jax.tree.map(_host_local, opt_state),
+                                    global_epoch,
+                                    extra={"scheduler": sched_state}
+                                    if sched_state else None)
                     append_ckpt_path(experiment_name, ckpt_path, root)
                     stamp = datetime.datetime.now().strftime(
                         "%Y-%m-%d %H:%M:%S")

@@ -151,6 +151,48 @@ def test_convgru_variant_parity():
                 E2VIDRecurrent(unet_kwargs=kwargs))
 
 
+def test_instance_norm_variant_parity():
+    """norm: IN — reference ConvLayer/UpsampleConvLayer use
+    InstanceNorm2d(track_running_stats=True) (stored stats at eval),
+    ResidualBlock uses plain InstanceNorm2d (live stats). Running stats
+    randomized so the stored-stats path is actually exercised."""
+    import torch
+    from v2v_tpu.models.model import E2VIDRecurrent
+    kwargs = dict(UNET_KWARGS, norm="IN", final_activation="")
+
+    cls = _torch_model("E2VIDRecurrent", kwargs)
+    tmodel = cls(dict(kwargs))
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.InstanceNorm2d) and m.track_running_stats:
+            m.running_mean.uniform_(-0.3, 0.3)
+            m.running_var.uniform_(0.5, 2.0)
+    tmodel.eval()
+
+    import jax
+    import jax.numpy as jnp
+    from v2v_tpu.models.convert import (torch_state_dict_to_flax,
+                                        validate_against)
+    fmodel = E2VIDRecurrent(unet_kwargs=kwargs)
+    h, w = 32, 48
+    rng = np.random.RandomState(7)
+    xs = rng.randn(3, 1, 5, h, w).astype(np.float32) * 0.5
+    with torch.no_grad():
+        tmodel.reset_states()
+        t_outs = [tmodel(torch.tensor(x))["image"].numpy() for x in xs]
+    state = fmodel.init_state(1, h, w)
+    params0 = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(_nhwc(xs[0])),
+                          state)
+    params = validate_against(params0,
+                              torch_state_dict_to_flax(tmodel.state_dict()),
+                              strict=True)
+    for i, x in enumerate(xs):
+        out, state = fmodel.apply(params, jnp.asarray(_nhwc(x)), state)
+        err = np.abs(t_outs[i]
+                     - np.transpose(np.asarray(out["image"]),
+                                    (0, 3, 1, 2))).max()
+        assert err < 5e-4, f"step {i}: {err}"
+
+
 def test_wrapper_prefix_stripping():
     """DDP 'module.' and compile '_orig_mod.' prefixes are stripped
     (reference convert_to_compiled, train.py:18-39)."""

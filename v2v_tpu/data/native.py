@@ -79,6 +79,15 @@ def events_to_voxel_native(ts: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     xs32 = np.ascontiguousarray(xs, np.int32)
     ys32 = np.ascontiguousarray(ys, np.int32)
     ps8 = np.ascontiguousarray(ps, np.uint8)
+    # the C kernel writes out[y*w+x] unchecked; a malformed h5 with a
+    # stray coordinate must fail loudly like the numpy np.add.at path
+    # (IndexError), not corrupt the heap
+    if n and (xs32.min() < 0 or xs32.max() >= width
+              or ys32.min() < 0 or ys32.max() >= height):
+        raise IndexError(
+            f"event coordinates out of bounds for {height}x{width}: "
+            f"x in [{xs32.min()}, {xs32.max()}], "
+            f"y in [{ys32.min()}, {ys32.max()}]")
     fn = (lib.build_voxel_bilinear if interpolate_bins
           else lib.build_voxel_discrete)
     dp = ctypes.POINTER(ctypes.c_double)

@@ -90,11 +90,7 @@ def _set_path(tree: Dict, path: List[str], value) -> None:
     node[path[-1]] = value
 
 
-def torch_state_dict_to_flax(state_dict: Dict[str, Any],
-                             transposed_conv_paths: Tuple[str, ...] = (
-                                 "transposed_conv2d",),
-                             linear_paths: Tuple[str, ...] = ()
-                             ) -> Dict[str, Any]:
+def torch_state_dict_to_flax(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     """Generic structural conversion. Returns {'params': tree}
     (+ 'batch_stats' tree if running stats present)."""
     params: Dict[str, Any] = {}
@@ -106,7 +102,6 @@ def torch_state_dict_to_flax(state_dict: Dict[str, Any],
         parts = key.split(".")
         leaf = parts[-1]
         module_path = _flax_path(parts[:-1])
-        owner = parts[-2] if len(parts) >= 2 else ""
 
         if leaf == "num_batches_tracked":
             continue
@@ -126,11 +121,13 @@ def torch_state_dict_to_flax(state_dict: Dict[str, Any],
             continue
         if leaf == "weight":
             if arr.ndim == 4:
-                if owner in transposed_conv_paths:
-                    arr = arr.transpose(2, 3, 1, 0)   # (I,O,kH,kW)->(kH,kW,O,I)
-                else:
-                    arr = arr.transpose(2, 3, 1, 0)   # (O,I,kH,kW)->(kH,kW,I,O)
-                _set_path(params, module_path + ["kernel"], arr)
+                # one permutation covers BOTH conv flavors: Conv2d
+                # (O,I,kH,kW)->(kH,kW,I,O), and ConvTranspose2d
+                # (I,O,kH,kW)->(kH,kW,O,I) because flax
+                # ConvTranspose(transpose_kernel=True) swaps the channel
+                # roles of the kernel
+                _set_path(params, module_path + ["kernel"],
+                          arr.transpose(2, 3, 1, 0))
             elif arr.ndim == 2:
                 _set_path(params, module_path + ["kernel"], arr.T)
             else:                                     # norm scale

@@ -327,6 +327,7 @@ class ERAFT(nn.Module):
     def __call__(self, voxel1: Array, voxel2: Array, state: Array,
                  train: bool = False):
         subtype = self.config["subtype"].lower()
+        assert subtype in ("standard", "warm_start"), subtype  # eraft.py:102-105
         hdim = cdim = 128
         img1, (ph, pw) = _pad32(voxel1)
         img2, _ = _pad32(voxel2)
@@ -349,9 +350,10 @@ class ERAFT(nn.Module):
         ys = jnp.arange(h8, dtype=jnp.float32)[None, :, None]
         coords0 = jnp.stack([jnp.broadcast_to(xs, (b, h8, w8)),
                              jnp.broadcast_to(ys, (b, h8, w8))], axis=-1)
-        coords1 = coords0
-        if subtype == "warm_start":
-            coords1 = coords1 + state
+        # the reference adds flow_init unconditionally whenever set and
+        # stores it after EVERY call regardless of subtype
+        # (eraft.py:113-114,141-146) — the zero init_state == None
+        coords1 = coords0 + state
 
         update = BasicUpdateBlock(hdim, name="update_block")
 

@@ -215,6 +215,10 @@ class HyperUNetRecurrent(nn.Module):
         act = activation_fn(cfg.final_activation)
         if act is not None:
             img = act(img)
+        if cfg.num_output_channels == 3:
+            # image(1) + flow(2) head split (hyper_model.py:193-195)
+            return ({"image": img[..., 0:1], "flow": img[..., 1:3]},
+                    new_states)
         return {"image": img}, new_states
 
 

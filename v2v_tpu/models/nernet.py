@@ -15,7 +15,7 @@ model/nernet_model.py:50-72 — here params are resolution-free).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -199,17 +199,19 @@ class RecurrentConvLayerNAMGCB(nn.Module):
     out_channels: int
     kernel_size: int = 5
     stride: int = 2
+    norm: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: Array, h: Array, c: Array, m: Array):
+    def __call__(self, x: Array, h: Array, c: Array, m: Array,
+                 train: bool = False):
         gcb = nn.Conv(self.in_channels, (1, 1), name="conv_1x1")(x)
         gcb = ContextBlock2d(self.in_channels, self.in_channels,
                              name="GCB")(gcb)
         x = x + gcb
         x = ConvLayer(self.out_channels, self.kernel_size, self.stride,
-                      name="conv")(x)
+                      norm=self.norm, name="conv")(x, train=train)
         m = ConvLayer(self.out_channels, self.kernel_size, self.stride,
-                      name="conv_mem")(m)
+                      norm=self.norm, name="conv_mem")(m, train=train)
         return NAMCell(self.out_channels, 3, name="recurrent_block")(
             x, h, c, m)
 
@@ -220,12 +222,13 @@ class _UpStack(nn.Module):
     ModuleLists `decoders.{i}` / `m_t_UpsampleLayer.{i}` here."""
     features: Tuple[int, ...]
     kernel_size: int
+    norm: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, skips, train: bool = False) -> Array:
         n = len(self.features)
         for i, f in enumerate(self.features):
-            x = UpsampleConvLayer(f, self.kernel_size,
+            x = UpsampleConvLayer(f, self.kernel_size, norm=self.norm,
                                   name=f"decoders_{i}")(
                 x + skips[n - i - 1], train=train)
         return x
@@ -239,6 +242,8 @@ class UNetNIAMSTcellGCB(nn.Module):
     num_residual_blocks: int = 2
     kernel_size: int = 5
     learned_bins: bool = True     # head takes 2*num_bins when mlp voxelizer
+    norm: Optional[str] = None
+    final_activation: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, state, train: bool = False):
@@ -254,32 +259,41 @@ class UNetNIAMSTcellGCB(nn.Module):
         new_h, new_c = list(h_t), list(c_t)
         blocks_h, blocks_m = [], []
         nh, nc, m = RecurrentConvLayerNAMGCB(
-            enc_in[0], enc_out[0], self.kernel_size, name="encoders_0")(
-            x, h_t[0], c_t[0], m_t)
+            enc_in[0], enc_out[0], self.kernel_size, norm=self.norm,
+            name="encoders_0")(x, h_t[0], c_t[0], m_t, train=train)
         new_h[0], new_c[0] = nh, nc
         blocks_h.append(nh)
         blocks_m.append(m)
         for i in range(1, self.num_encoders):
             nh, nc, m = RecurrentConvLayerNAMGCB(
-                enc_in[i], enc_out[i], self.kernel_size,
-                name=f"encoders_{i}")(new_h[i - 1], h_t[i], c_t[i], m)
+                enc_in[i], enc_out[i], self.kernel_size, norm=self.norm,
+                name=f"encoders_{i}")(new_h[i - 1], h_t[i], c_t[i], m,
+                                      train=train)
             new_h[i], new_c[i] = nh, nc
             blocks_h.append(nh)
             blocks_m.append(m)
 
         # m-stream upsampler back to full resolution
         up_feats = tuple(reversed(enc_in))
-        new_m = _UpStack(up_feats, self.kernel_size,
+        new_m = _UpStack(up_feats, self.kernel_size, norm=self.norm,
                          name="m_t_UpsampleLayer")(
             blocks_m[-1], blocks_m, train=train)
 
         xx = blocks_h[-1]
         for i in range(self.num_residual_blocks):
-            xx = ResidualBlock(enc_out[-1], name=f"resblocks_{i}")(
-                xx, train=train)
-        xx = _UpStack(up_feats, self.kernel_size, name="decoders")(
-            xx, blocks_h, train=train)
-        img = ConvLayer(1, 1, activation=None, name="pred")(xx + head)
+            xx = ResidualBlock(enc_out[-1], self.norm,
+                               name=f"resblocks_{i}")(xx, train=train)
+        xx = _UpStack(up_feats, self.kernel_size, norm=self.norm,
+                      name="decoders")(xx, blocks_h, train=train)
+        # pred carries the UNet norm (build_prediction_layer passes
+        # self.norm, nernet/unet.py:176); final_activation applied like
+        # getattr(torch, name) (nernet/unet.py:148-150,236-238)
+        img = ConvLayer(1, 1, activation=None, norm=self.norm,
+                        name="pred")(xx + head, train=train)
+        from .submodules import activation_fn
+        act = activation_fn(self.final_activation)
+        if act is not None:
+            img = act(img)
         return {"image": img}, (tuple(new_h), tuple(new_c), new_m)
 
 
@@ -320,9 +334,14 @@ class RepresentationRecurrent(nn.Module):
         unet_state = state[0]
         network = kw.get("recurrent_network", "NIAM_STcell_GCB")
         if network == "NIAM_STcell_GCB":
+            norm = kw.get("norm") or None        # '' / 'none' -> None
+            if norm in ("none", "None"):
+                norm = None
             out, new_unet_state = UNetNIAMSTcellGCB(
                 num_bins, kw.get("base_num_channels", 32), ne,
                 kw.get("num_residual_blocks", 2), kw.get("kernel_size", 5),
+                norm=norm,
+                final_activation=kw.get("final_activation", "none"),
                 name="unetrecurrent")(padded, unet_state, train=train)
         else:
             # plain recurrent UNet backbone (nernet/unet.py:80-137);

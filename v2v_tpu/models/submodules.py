@@ -48,6 +48,15 @@ def _pad2d(k: int) -> Sequence[Tuple[int, int]]:
     return ((p, p), (p, p))
 
 
+def _instance_norm(x: Array, eps: float = 1e-5) -> Array:
+    """torch nn.InstanceNorm2d(C) defaults: affine=False,
+    track_running_stats=False — live per-instance spatial stats."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=(1, 2), keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
 class TorchBatchNorm(nn.Module):
     """BatchNorm with torch-exact semantics (nn.BatchNorm2d defaults).
 
@@ -108,6 +117,46 @@ class TorchBatchNorm(nn.Module):
         return y.astype(x.dtype)
 
 
+class TorchInstanceNorm(nn.Module):
+    """nn.InstanceNorm2d(C, track_running_stats=True) — the reference
+    ConvLayer's 'IN' option (model/submodules.py:24): affine=False; at
+    EVAL every sample is normalized with the stored per-channel running
+    stats (BatchNorm-style), NOT live per-instance stats; at train it
+    normalizes per instance over (H, W) and updates the running stats
+    with the batch mean of per-instance statistics (momentum 0.1,
+    unbiased var)."""
+    features: int
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool = True) -> Array:
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,)))
+        if use_running_average:
+            inv = jax.lax.rsqrt(ra_var.value.astype(jnp.float32)
+                                + self.epsilon)
+            y = (x.astype(jnp.float32)
+                 - ra_mean.value.astype(jnp.float32)) * inv
+            return y.astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=(1, 2), keepdims=True)        # per instance
+        var = ((xf - mean) ** 2).mean(axis=(1, 2), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if not self.is_initializing() and \
+                self.is_mutable_collection("batch_stats"):
+            n = x.shape[1] * x.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            m = self.momentum
+            ra_mean.value = ((1 - m) * ra_mean.value.astype(jnp.float32)
+                             + m * mean.mean(axis=(0, 1, 2)))
+            ra_var.value = ((1 - m) * ra_var.value.astype(jnp.float32)
+                            + m * unbiased.mean(axis=(0, 1, 2)))
+        return y.astype(x.dtype)
+
+
 class ConvLayer(nn.Module):
     """Conv2d [+ norm] [+ activation]. Reference: model/submodules.py:7-34."""
     features: int
@@ -128,8 +177,8 @@ class ConvLayer(nn.Module):
             x = TorchBatchNorm(self.features, name="norm_layer")(
                 x, use_running_average=not train)
         elif self.norm == "IN":
-            x = nn.GroupNorm(num_groups=None, group_size=1,
-                             name="norm_layer")(x)
+            x = TorchInstanceNorm(self.features, name="norm_layer")(
+                x, use_running_average=not train)
         act = activation_fn(self.activation)
         return act(x) if act is not None else x
 
@@ -156,8 +205,8 @@ class UpsampleConvLayer(nn.Module):
             x = TorchBatchNorm(self.features, name="norm_layer")(
                 x, use_running_average=not train)
         elif self.norm == "IN":
-            x = nn.GroupNorm(num_groups=None, group_size=1,
-                             name="norm_layer")(x)
+            x = TorchInstanceNorm(self.features, name="norm_layer")(
+                x, use_running_average=not train)
         act = activation_fn(self.activation)
         return act(x) if act is not None else x
 
@@ -186,8 +235,8 @@ class TransposedConvLayer(nn.Module):
             x = TorchBatchNorm(self.features, name="norm_layer")(
                 x, use_running_average=not train)
         elif self.norm == "IN":
-            x = nn.GroupNorm(num_groups=None, group_size=1,
-                             name="norm_layer")(x)
+            x = TorchInstanceNorm(self.features, name="norm_layer")(
+                x, use_running_average=not train)
         act = activation_fn(self.activation)
         return act(x) if act is not None else x
 
@@ -210,7 +259,9 @@ class ResidualBlock(nn.Module):
             out = TorchBatchNorm(self.features, name="bn1")(
                 out, use_running_average=not train)
         elif self.norm == "IN":
-            out = nn.GroupNorm(num_groups=None, group_size=1, name="bn1")(out)
+            # reference ResidualBlock uses PLAIN InstanceNorm2d (no
+            # running stats, no affine, eps 1e-5) — always live stats
+            out = _instance_norm(out)
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), padding=_pad2d(3),
                       use_bias=use_bias, name="conv2")(out)
@@ -219,7 +270,7 @@ class ResidualBlock(nn.Module):
             out = TorchBatchNorm(self.features, name="bn2")(
                 out, use_running_average=not train)
         elif self.norm == "IN":
-            out = nn.GroupNorm(num_groups=None, group_size=1, name="bn2")(out)
+            out = _instance_norm(out)
         return nn.relu(out + residual)
 
 

@@ -53,9 +53,28 @@ class UNetConfig:
     recurrent_block_type: str = "convlstm"
     final_activation: Optional[str] = None
 
+    # unet_kwargs keys consumed by wrapper models / other reference
+    # BaseUNet variants rather than the core UNet (nernet BaseUNet and
+    # HyperE2VID accept these; model/nernet/unet.py:14-17,
+    # hyper_model.py) — never a typo signal
+    _PASS_THROUGH = frozenset({
+        "crop_size", "mlp_layers", "use_cnn_representation", "normalize",
+        "combine_voxel", "RepCNN_num_layers", "RepCNN_kernel_size",
+        "RepCNN_padding", "RepCNN_channel", "recurrent_network",
+        "use_dynamic_decoder", "unet_kwargs", "num_bins_events",
+    })
+
     @classmethod
     def from_kwargs(cls, kwargs: Dict[str, Any]) -> "UNetConfig":
         known = {f.name for f in dataclasses.fields(cls)}
+        unknown = sorted(set(kwargs) - known - cls._PASS_THROUGH)
+        if unknown:
+            # the reference's BaseUNet(**unet_kwargs) raises TypeError
+            # on unexpected keys (model/unet.py:14-43) — a typo like
+            # 'kernal_size' must not silently train with defaults
+            import warnings
+            warnings.warn(f"unet_kwargs keys not recognized (typo?): "
+                          f"{unknown} — the reference would reject these")
         clean = {k: v for k, v in kwargs.items() if k in known}
         cfg = cls(**clean)
         cfg.norm = _none_norm(cfg.norm)

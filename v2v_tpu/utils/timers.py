@@ -63,8 +63,15 @@ class DeviceTimer:
 
     def __exit__(self, *args):
         if self.result is not None:
+            # A host scalar fetch is the only reliable device sync on
+            # the axon relay (block_until_ready returns immediately
+            # there — see .claude/skills/verify/SKILL.md); fetching one
+            # element forces completion on every backend.
             import jax
-            jax.block_until_ready(self.result)
+            leaves = [l for l in jax.tree.leaves(self.result)
+                      if hasattr(l, "dtype")]
+            if leaves:
+                np.asarray(jax.device_get(leaves[0]))
         device_timers[self.timer_name].append(
             (time.time() - self.start) * 1000.0)
 

@@ -347,9 +347,43 @@ def _t_vgg16_features():
     return nn.Sequential(*mods)
 
 
+class _TFire(nn.Module):
+    """torchvision.models.squeezenet.Fire — exact child names so the
+    state_dict schema matches (squeeze/expand1x1/expand3x3)."""
+
+    def __init__(self, inp, s, e1, e3):
+        super().__init__()
+        self.squeeze = nn.Conv2d(inp, s, kernel_size=1)
+        self.squeeze_activation = nn.ReLU(inplace=True)
+        self.expand1x1 = nn.Conv2d(s, e1, kernel_size=1)
+        self.expand1x1_activation = nn.ReLU(inplace=True)
+        self.expand3x3 = nn.Conv2d(s, e3, kernel_size=3, padding=1)
+        self.expand3x3_activation = nn.ReLU(inplace=True)
+
+    def forward(self, x):
+        x = self.squeeze_activation(self.squeeze(x))
+        return torch.cat([
+            self.expand1x1_activation(self.expand1x1(x)),
+            self.expand3x3_activation(self.expand3x3(x))], 1)
+
+
+def _t_squeezenet_features():
+    # torchvision squeezenet1_1 `features` (models/squeezenet.py)
+    return nn.Sequential(
+        nn.Conv2d(3, 64, kernel_size=3, stride=2), nn.ReLU(),
+        nn.MaxPool2d(3, 2, ceil_mode=True),
+        _TFire(64, 16, 64, 64), _TFire(128, 16, 64, 64),
+        nn.MaxPool2d(3, 2, ceil_mode=True),
+        _TFire(128, 32, 128, 128), _TFire(256, 32, 128, 128),
+        nn.MaxPool2d(3, 2, ceil_mode=True),
+        _TFire(256, 48, 192, 192), _TFire(384, 48, 192, 192),
+        _TFire(384, 64, 256, 256), _TFire(512, 64, 256, 256))
+
+
 # LPIPS tap positions in the torch Sequential (after these reluN
 # indices), matching reference PerceptualSimilarity slices
-_T_TAPS = {"alex": [1, 4, 7, 9, 11], "vgg": [3, 8, 15, 22, 29]}
+_T_TAPS = {"alex": [1, 4, 7, 9, 11], "vgg": [3, 8, 15, 22, 29],
+           "squeeze": [1, 4, 7, 9, 10, 11, 12]}
 
 
 @pytest.mark.parametrize("ks", [3, 5, 7])
@@ -413,7 +447,7 @@ def test_shipped_lpips_lin_weights_match_reference_pth(net):
         assert got.min() >= 0.0     # heads are stored non-negative
 
 
-@pytest.mark.parametrize("net", ["alex", "vgg"])
+@pytest.mark.parametrize("net", ["alex", "vgg", "squeeze"])
 def test_lpips_trunk_converter_schema_and_parity(net, tmp_path):
     import jax
     import jax.numpy as jnp
@@ -421,7 +455,8 @@ def test_lpips_trunk_converter_schema_and_parity(net, tmp_path):
                                       _TAP_CHANNELS)
 
     torch.manual_seed(2)
-    feats = _t_alexnet_features() if net == "alex" else _t_vgg16_features()
+    feats = {"alex": _t_alexnet_features, "vgg": _t_vgg16_features,
+             "squeeze": _t_squeezenet_features}[net]()
     feats.eval()
     # user saves the FULL torchvision model state_dict; add classifier
     # keys to verify they are ignored
@@ -440,9 +475,11 @@ def test_lpips_trunk_converter_schema_and_parity(net, tmp_path):
     _assert_bidirectional(variables["params"]["features"],
                           {k: dict(v) for k, v in trunk_params.items()})
 
-    # numeric parity of the tapped activations
+    # numeric parity of the tapped activations; 66px for squeeze so its
+    # ceil_mode maxpools actually take the partial-window (pad) path
     rng = np.random.RandomState(5)
-    x = rng.randn(1, 3, 64, 64).astype(np.float32)
+    hw = 66 if net == "squeeze" else 64
+    x = rng.randn(1, 3, hw, hw).astype(np.float32)
     with torch.no_grad():
         t_taps, y = [], torch.tensor(x)
         for i, m in enumerate(feats):

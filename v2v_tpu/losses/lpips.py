@@ -2,7 +2,8 @@
 
 Functional port of the vendored PerceptualSimilarity LPIPS v0.1
 (reference PerceptualSimilarity/models/networks_basic.py:32-101): frozen
-AlexNet/VGG16 trunk -> per-layer channel-unit-normalized activations ->
+AlexNet/VGG16/SqueezeNet1.1 trunk -> per-layer channel-unit-normalized
+activations ->
 squared difference -> 1x1 linear calibration -> spatial mean -> sum over
 layers.
 
@@ -13,8 +14,9 @@ checkpoints which cannot be redistributed here; provide them via
 
     LPIPS(net="alex").restore(torch_backbone_path="/path/alexnet-owt.pth")
 
-or drop `alexnet-owt-7be5be79.pth` / `vgg16-397923af.pth` into
-`$V2V_WEIGHTS_DIR` (default ./pretrained). Without them the trunk falls
+or drop `alexnet-owt-7be5be79.pth` / `vgg16-397923af.pth` /
+`squeezenet1_1-b8a52dc0.pth` into `$V2V_WEIGHTS_DIR`
+(default ./pretrained). Without them the trunk falls
 back to fixed random features (He init, fixed seed) — still a valid
 training signal, but NOT comparable to published LPIPS numbers; a loud
 warning is emitted once.
@@ -44,6 +46,7 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 _BACKBONE_FILES = {
     "alex": "alexnet-owt-7be5be79.pth",
     "vgg": "vgg16-397923af.pth",
+    "squeeze": "squeezenet1_1-b8a52dc0.pth",
 }
 
 # AlexNet features: (out_ch, kernel, stride, pad), 'M' = maxpool 3x3 s2.
@@ -93,14 +96,74 @@ class _VGGFeatures(nn.Module):
         return feats
 
 
+def _max_pool_ceil(x: Array, k: int, s: int) -> Array:
+    """torch MaxPool2d(k, s, ceil_mode=True): pad bottom/right with -inf
+    so the last (partial) window is kept. torch guarantees the last
+    window starts inside the input, which pad<=s-1 preserves."""
+    _, h, w, _ = x.shape
+    out_h = -(-(h - k) // s) + 1
+    out_w = -(-(w - k) // s) + 1
+    pad_h = (out_h - 1) * s + k - h
+    pad_w = (out_w - 1) * s + k - w
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                    constant_values=-jnp.inf)
+    return nn.max_pool(x, (k, k), strides=(s, s), padding="VALID")
+
+
+class _Fire(nn.Module):
+    """torchvision squeezenet Fire: 1x1 squeeze -> relu -> parallel
+    1x1/3x3 expands -> relu -> channel concat (models/squeezenet.py)."""
+    squeeze_ch: int
+    expand_ch: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.relu(nn.Conv(self.squeeze_ch, (1, 1), name="squeeze")(x))
+        a = nn.relu(nn.Conv(self.expand_ch, (1, 1), name="expand1x1")(x))
+        b = nn.relu(nn.Conv(self.expand_ch, (3, 3),
+                            padding=((1, 1), (1, 1)), name="expand3x3")(x))
+        return jnp.concatenate([a, b], axis=-1)
+
+
+# SqueezeNet1_1 features: Fire specs keyed by the torchvision Sequential
+# index (reference PerceptualSimilarity/models/pretrained_networks.py:6-54
+# slices its `tv.squeezenet1_1().features` at these boundaries).
+_SQUEEZE_FIRES = {3: (16, 64), 4: (16, 64), 6: (32, 128), 7: (32, 128),
+                  9: (48, 192), 10: (48, 192), 11: (64, 256), 12: (64, 256)}
+_SQUEEZE_POOLS = (2, 5, 8)           # MaxPool2d(3, 2, ceil_mode=True)
+_SQUEEZE_TAPS = (1, 4, 7, 9, 10, 11, 12)   # relu1..relu7 slice outputs
+
+
+class _SqueezeFeatures(nn.Module):
+    @nn.compact
+    def __call__(self, x: Array) -> List[Array]:
+        feats = []
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID",
+                            name="conv0")(x))
+        if 1 in _SQUEEZE_TAPS:
+            feats.append(x)
+        for i in range(2, 13):
+            if i in _SQUEEZE_POOLS:
+                x = _max_pool_ceil(x, 3, 2)
+            else:
+                s, e = _SQUEEZE_FIRES[i]
+                x = _Fire(s, e, name=f"fire{i}")(x)
+            if i in _SQUEEZE_TAPS:
+                feats.append(x)
+        return feats
+
+
 def _unit_normalize(x: Array, eps: float = 1e-10) -> Array:
     norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
     return x / (norm + eps)
 
 
 # tapped-layer channel counts (static, per net) for the lin params
+# (reference networks_basic.py:44-52: self.chns per pnet_type)
 _TAP_CHANNELS = {"alex": [64, 192, 384, 256, 256],
-                 "vgg": [64, 128, 256, 512, 512]}
+                 "vgg": [64, 128, 256, 512, 512],
+                 "squeeze": [64, 128, 256, 384, 384, 512, 512]}
 
 
 class LPIPSModule(nn.Module):
@@ -115,8 +178,9 @@ class LPIPSModule(nn.Module):
     net: str = "alex"
 
     def setup(self):
-        self.trunk = (_AlexFeatures(name="features") if self.net == "alex"
-                      else _VGGFeatures(name="features"))
+        trunk_cls = {"alex": _AlexFeatures, "vgg": _VGGFeatures,
+                     "squeeze": _SqueezeFeatures}[self.net]
+        self.trunk = trunk_cls(name="features")
         self.lins = [
             self.param(f"lin{i}", nn.initializers.ones, (ch,))
             for i, ch in enumerate(_TAP_CHANNELS[self.net])]
@@ -154,20 +218,27 @@ def _find_backbone(net: str) -> Optional[str]:
 
 
 def _torch_backbone_params(net: str, path: str) -> Dict[str, Dict[str, np.ndarray]]:
-    """Convert a torchvision alexnet/vgg16 state_dict to flax trunk params."""
+    """Convert a torchvision alexnet/vgg16/squeezenet1_1 state_dict to
+    flax trunk params."""
     import torch
     sd = torch.load(path, map_location="cpu")
-    # torchvision keys: features.{i}.weight/.bias with i the nn.Sequential
-    # index; collect convs in order.
-    convs = []
+
+    def conv(key):
+        w = sd[f"{key}.weight"].numpy().transpose(2, 3, 1, 0)  # OIHW->HWIO
+        return {"kernel": w, "bias": sd[f"{key}.bias"].numpy()}
+
+    if net == "squeeze":
+        out: Dict[str, Dict[str, np.ndarray]] = {"conv0": conv("features.0")}
+        for i in _SQUEEZE_FIRES:
+            out[f"fire{i}"] = {
+                name: conv(f"features.{i}.{name}")
+                for name in ("squeeze", "expand1x1", "expand3x3")}
+        return out
+    # alexnet/vgg16 keys: features.{i}.weight/.bias with i the
+    # nn.Sequential index; collect convs in order.
     idxs = sorted({int(k.split(".")[1]) for k in sd if k.startswith("features")
                    and k.endswith("weight")})
-    for i in idxs:
-        w = sd[f"features.{i}.weight"].numpy().transpose(2, 3, 1, 0)  # OIHW->HWIO
-        b = sd[f"features.{i}.bias"].numpy()
-        convs.append((w, b))
-    return {f"conv{i}": {"kernel": w, "bias": b}
-            for i, (w, b) in enumerate(convs)}
+    return {f"conv{n}": conv(f"features.{i}") for n, i in enumerate(idxs)}
 
 
 _warned = set()

@@ -198,11 +198,13 @@ def test_warp_by_flow_mxu_matches_gather():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
-def test_lpips_feature_split_matches_joint():
+@pytest.mark.parametrize("net", ["alex", "vgg", "squeeze"])
+def test_lpips_feature_split_matches_joint(net):
     """features() + dist_from_features() == __call__ (the train loss
-    precomputes GT features outside the remat region this way)."""
+    precomputes GT features outside the remat region this way) — for
+    every trunk the reference's lpips_type config accepts."""
     from v2v_tpu.losses.lpips import LPIPS
-    lp = LPIPS("alex")
+    lp = LPIPS(net)
     rng = np.random.RandomState(0)
     a = jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)
     b = jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)

@@ -34,8 +34,9 @@ def main():
     ap.add_argument("--remat-policy", default="full")
     ap.add_argument("--chunk", type=int, default=0)
     ap.add_argument("--steps", type=int, default=5)
-    ap.add_argument("--flow", default="raft_small",
-                    help="raft_small|zeros (teacher ablation)")
+    ap.add_argument("--flow", default=None,
+                    help="raft_small|raft_large|zeros; overrides the "
+                         "config's optical_flow_source (teacher ablation)")
     args = ap.parse_args()
     if args.chunk:
         os.environ["V2V_LPIPS_CHUNK"] = str(args.chunk)
@@ -63,11 +64,15 @@ def main():
         h = w = dtrain.get("crop_size", 128)
         extra_frame = dtrain.get("output_additional_frame", False)
         extra_evs = dtrain.get("output_additional_evs", False)
-        args.flow = cfg.get("loss", {}).get("optical_flow_source",
-                                            args.flow)
+        if args.flow is None:
+            args.flow = cfg.get("loss", {}).get("optical_flow_source",
+                                                "raft_small")
+        else:                       # explicit ablation override
+            cfg.setdefault("loss", {})["optical_flow_source"] = args.flow
         name = os.path.basename(args.config)
     else:
         name = "flagship-e2vid"
+        args.flow = args.flow or "raft_small"
         cfg = {
             "loss": {"lpips_weight": 1.0, "lpips_type": "vgg",
                      "lpips_remat": args.lpips_remat, "l1_weight": 1.0,
@@ -89,10 +94,9 @@ def main():
     if args.flow.startswith("raft"):
         # random-weight teacher: same compute as pretrained
         from v2v_tpu.training import raft as raft_mod
-        rm = raft_mod.RAFT(small=args.flow == "raft_small", iters=12)
-        dummy = jnp.zeros((1, 64, 64, 3))
-        rp = rm.init(jax.random.PRNGKey(42), dummy, dummy)
-        raft_mod._cache[args.flow] = (rm, rp)
+        raft_mod.seed_random_teacher(
+            args.flow, int(cfg.get("loss", {}).get("raft_num_flow_updates",
+                                                   12)))
 
     if task == "flow":
         from v2v_tpu.training.flow_interface import FlowModelInterface

@@ -217,3 +217,35 @@ def test_wrapper_prefix_stripping():
     out = torch_state_dict_to_flax(sd)
     assert out["params"]["head"]["conv2d"]["kernel"].shape == (5, 5, 3, 4)
     assert out["params"]["head"]["conv2d"]["bias"].shape == (4,)
+
+
+def test_validate_checkpoint_script(tmp_path):
+    """scripts/validate_checkpoint.py end-to-end on a real .pth file:
+    reference torch model (random weights) saved with DDP prefixes ->
+    script converts, runs both sides, prints PASS."""
+    import subprocess
+    import torch
+    import yaml
+
+    cls = _torch_model("E2VIDRecurrent", None)
+    kwargs = dict(UNET_KWARGS, final_activation="")
+    tmodel = cls(dict(kwargs))
+    ckpt = str(tmp_path / "real.pth")
+    torch.save({"state_dict": {f"module.{k}": v
+                               for k, v in tmodel.state_dict().items()},
+                "epoch": 7}, ckpt)
+    cfg = str(tmp_path / "cfg.yaml")
+    with open(cfg, "w") as f:
+        yaml.safe_dump({"module": {"model": {
+            "target": "model.model.E2VIDRecurrent",
+            "params": {"unet_kwargs": dict(kwargs)}}}}, f)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts",
+                                      "validate_checkpoint.py"),
+         cfg, ckpt, "--steps", "2", "--height", "32", "--width", "40"],
+        capture_output=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert b"PASS" in out.stdout, out.stdout

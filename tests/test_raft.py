@@ -27,3 +27,23 @@ def test_raft_flow_requires_weights(tmp_path, monkeypatch):
     frames = jnp.zeros((1, 3, 32, 32, 1))
     with pytest.raises(FileNotFoundError):
         raft.raft_flow("raft_small", frames)
+
+
+def test_seed_random_teacher_feeds_raft_flow(tmp_path, monkeypatch):
+    """The benchmark harnesses run random-weight teachers through
+    seed_random_teacher; it must hit raft_flow's cache exactly (a key
+    mismatch once silently broke bench_full_step)."""
+    from v2v_tpu.training import raft
+    monkeypatch.setenv("V2V_WEIGHTS_DIR", str(tmp_path))  # no weights
+    raft._cache.clear()
+    try:
+        raft.seed_random_teacher("raft_small", num_flow_updates=2)
+        frames = jnp.linspace(0, 1, 2 * 3 * 40 * 48).reshape(
+            (2, 3, 40, 48, 1))
+        flow = raft.raft_flow("raft_small", frames, l0=1,
+                              num_flow_updates=2)
+        assert flow.shape == (2, 3, 40, 48, 2)
+        assert np.isfinite(np.asarray(flow)).all()
+        assert not np.any(np.asarray(flow[:, 0]))   # zeros for t < l0
+    finally:
+        raft._cache.clear()

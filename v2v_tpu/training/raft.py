@@ -320,7 +320,19 @@ class RAFT(nn.Module):
 
 
 _BACKBONES = {"raft_small": "raft_small.pth", "raft_large": "raft_large.pth"}
-_cache: Dict[str, Tuple[RAFT, Any]] = {}
+_cache: Dict[Tuple[str, int], Tuple[RAFT, Any]] = {}
+
+
+def seed_random_teacher(source: str, num_flow_updates: int = 12,
+                        seed: int = 42) -> None:
+    """Install a randomly initialized teacher in the raft_flow cache
+    (benchmarks/smoke tests: identical compute and memory to pretrained
+    weights, no .pth needed). Keyed exactly like raft_flow's lookup so a
+    cache-key change cannot silently break the harnesses again."""
+    model = RAFT(small=source == "raft_small", iters=num_flow_updates)
+    dummy = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(seed), dummy, dummy)
+    _cache[(source, num_flow_updates)] = (model, params)
 
 
 def _load_params(name: str, model: RAFT):

@@ -219,3 +219,26 @@ def test_lookup_pyramid_matmul_matches_gather():
         ref.append(np.asarray(_bilinear_gather(corr, cx, cy))
                    .reshape(b, h, w, -1))
     np.testing.assert_allclose(got, np.concatenate(ref, -1), atol=1e-5)
+
+
+def test_forward_interpolate_matmul_matches_scatter():
+    """The tent-weight-einsum warm-start splat must equal the
+    scatter-add form (reference forward_interpolate_pytorch semantics),
+    including integer coordinates (double-counted corner cancels in the
+    ratio), far out-of-range splats, and empty cells."""
+    import jax.numpy as jnp
+    from v2v_tpu.models.eraft import (forward_interpolate,
+                                      forward_interpolate_scatter)
+    rng = np.random.RandomState(7)
+    for h, w, scale in [(16, 16, 3.0), (33, 44, 8.0), (5, 7, 0.5),
+                        (16, 16, 40.0)]:
+        flow = jnp.asarray(rng.randn(3, h, w, 2).astype(np.float32)
+                           * scale)
+        a = np.asarray(forward_interpolate_scatter(flow))
+        b = np.asarray(forward_interpolate(flow))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+    flow = jnp.asarray(np.round(rng.randn(2, 16, 16, 2) * 3)
+                       .astype(np.float32))
+    np.testing.assert_allclose(np.asarray(forward_interpolate_scatter(flow)),
+                               np.asarray(forward_interpolate(flow)),
+                               atol=1e-5)

@@ -82,3 +82,46 @@ def test_flow_harness_end_to_end(tmp_path):
     files = os.listdir(dump)
     assert any(f.endswith("_flow.png") for f in files)
     assert any(f.endswith(".npy") for f in files)
+
+
+def test_eraft_hoisted_fnet_matches_pairwise_calls():
+    """_forward_eraft encodes fnet once per voxel outside the pair scan;
+    it must equal the naive per-pair __call__ loop (fnet is per-sample
+    instance norm, so hoisting changes nothing semantically; the fused
+    path concatenates voxel1||voxel2 into one trunk batch, so float
+    reassociation leaves ~3e-5 noise after 12 GRU iterations), in both
+    eval and train (live cnet BN) modes."""
+    from v2v_tpu.training.flow_interface import FlowModelInterface
+    cfg = {
+        "loss": {"l1_weight": 1.0, "optical_flow_source": "gt"},
+        "forward_type": "eraft",
+        "model": {"target": "model.eraft.eraft.ERAFT",
+                  "params": {"config": {"subtype": "warm_start"},
+                             "n_first_channels": 5}},
+    }
+    iface = FlowModelInterface(cfg)
+    b, tp1, h, w = 2, 4, 30, 44       # non-x32: exercises _pad32
+    params, state0 = iface.init(jax.random.PRNGKey(0), b, h, w)
+    events = jax.random.normal(jax.random.PRNGKey(1), (b, tp1, h, w, 5))
+
+    for train in (False, True):
+        got, got_state = iface.forward_sequence(
+            params, events, state0, train=train)
+        state = state0
+        refs = []
+        for t in range(tp1 - 1):
+            if train:
+                (out, state), _ = iface.model.apply(
+                    params, events[:, t], events[:, t + 1], state,
+                    train=True, mutable=["batch_stats"])
+            else:
+                out, state = iface.model.apply(
+                    params, events[:, t], events[:, t + 1], state)
+            refs.append(out["flow"])
+        ref = jnp.stack(refs, axis=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=5e-4)
+        # the warm-start splat's weight-ratio division amplifies the
+        # upstream reassociation noise on near-empty cells
+        np.testing.assert_allclose(np.asarray(got_state),
+                                   np.asarray(state), rtol=5e-3, atol=1e-3)

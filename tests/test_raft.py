@@ -29,6 +29,35 @@ def test_raft_flow_requires_weights(tmp_path, monkeypatch):
         raft.raft_flow("raft_small", frames)
 
 
+@pytest.mark.parametrize("small", [True, False])
+def test_raft_flow_hoisted_encode_matches_pairwise(small, tmp_path,
+                                                   monkeypatch):
+    """raft_flow encodes each unique frame once (consecutive pairs share
+    interior frames) and pairs the feature maps up; it must equal the
+    naive per-pair __call__ loop. Non-x8 resolution exercises the
+    padding; f32 keeps the comparison tight."""
+    from v2v_tpu.training import raft
+    monkeypatch.setenv("V2V_WEIGHTS_DIR", str(tmp_path))
+    raft._cache.clear()
+    try:
+        src = "raft_small" if small else "raft_large"
+        raft.seed_random_teacher(src, num_flow_updates=2)
+        model, params = raft._cache[(src, 2)]
+        b, t, h, w = 2, 4, 36, 44
+        frames = jax.random.uniform(jax.random.PRNGKey(3), (b, t, h, w, 1))
+        got = raft.raft_flow(src, frames, l0=1, num_flow_updates=2,
+                             compute_dtype=None)
+        for ti in range(t - 1):
+            img1 = jnp.repeat(frames[:, ti] * 2 - 1, 3, axis=-1)
+            img2 = jnp.repeat(frames[:, ti + 1] * 2 - 1, 3, axis=-1)
+            ref = model.apply(params, img1, img2)
+            np.testing.assert_allclose(np.asarray(got[:, ti + 1]),
+                                       np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        raft._cache.clear()
+
+
 def test_seed_random_teacher_feeds_raft_flow(tmp_path, monkeypatch):
     """The benchmark harnesses run random-weight teachers through
     seed_random_teacher; it must hit raft_flow's cache exactly (a key

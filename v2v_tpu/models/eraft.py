@@ -279,9 +279,12 @@ def convex_upsample(flow: Array, mask: Array) -> Array:
     return up.transpose(0, 1, 3, 2, 4, 5).reshape(b, 8 * h, 8 * w, 2)
 
 
-def forward_interpolate(flow: Array) -> Array:
+def forward_interpolate_scatter(flow: Array) -> Array:
     """Forward-splat the flow to its advected positions (warm start,
-    model/eraft/image_utils.py:10-84). flow (B,H,W,2)."""
+    model/eraft/image_utils.py:10-84). flow (B,H,W,2).
+
+    Gather/scatter reference form, kept as the semantics oracle for the
+    matmul formulation below (scatter-adds serialize on TPU)."""
     b, h, w, _ = flow.shape
     xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
     ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
@@ -306,6 +309,36 @@ def forward_interpolate(flow: Array) -> Array:
     return jax.vmap(splat)(x1, y1, vals)
 
 
+def forward_interpolate(flow: Array) -> Array:
+    """Forward-splat via separable tent-weight contractions — no
+    scatters (they serialize on TPU; this runs once per pair in the
+    warm-start train scan and once per frame in streaming eval).
+
+    Same identity as lookup_pyramid, transposed to scatter: each source
+    pixel q at advected position (x1, y1) deposits value*weight onto the
+    4 corner cells, so acc[s,t] = sum_q wy[q,s]*wx[q,t]*v[q] with tent
+    weights wy[q,s] = max(0, 1-|y1[q]-s|) — two batched matmul
+    contractions. Out-of-range sources collect zero weight (== the
+    scatter's in-bounds mask). Integer-coordinate sources land on a
+    floor==ceil corner, which the scatter form counts twice in both
+    numerator and denominator; the ratio is identical."""
+    b, h, w, _ = flow.shape
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    x1 = (xs + flow[..., 0]).reshape(b, -1)          # (b, q)
+    y1 = (ys + flow[..., 1]).reshape(b, -1)
+    vals = flow.reshape(b, -1, 2)
+    gy = jnp.arange(h, dtype=jnp.float32)
+    gx = jnp.arange(w, dtype=jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y1[..., None] - gy))   # (b,q,h)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x1[..., None] - gx))   # (b,q,w)
+    # widen vals with a ones channel so [wacc | acc] is one contraction
+    ones = jnp.ones_like(vals[..., :1])
+    out = jnp.einsum("bqs,bqt,bqc->bstc", wy, wx,
+                     jnp.concatenate([ones, vals], axis=-1))
+    return out[..., 1:] / (out[..., :1] + 1e-15)
+
+
 def _pad32(x: Array) -> Tuple[Array, Tuple[int, int]]:
     """Left/top zero pad to x32 (ImagePadder semantics)."""
     h, w = x.shape[1:3]
@@ -318,29 +351,47 @@ class ERAFT(nn.Module):
     """Reference target `model.eraft.eraft.ERAFT`
     (config: {'subtype': 'standard'|'warm_start'}, n_first_channels).
     State = previous low-res flow splat (B, Hp/8, Wp/8, 2) at the padded
-    resolution; `init_state` returns zeros (== flow_init None)."""
+    resolution; `init_state` returns zeros (== flow_init None).
+
+    setup-style so the fnet feature encoding is independently callable
+    (method=ERAFT.encode): in the train scan each voxel is `curr` of one
+    pair and `prev` of the next, so encoding once per voxel outside the
+    rematted pair step halves the fnet cost (fnet carries most of the
+    forward FLOPs). The param tree is identical to the fused __call__."""
     config: Dict[str, Any]
     n_first_channels: int = 5
     iters: int = 12
 
-    @nn.compact
-    def __call__(self, voxel1: Array, voxel2: Array, state: Array,
-                 train: bool = False):
+    def setup(self):
+        hdim = cdim = 128
+        self.fnet = BasicEncoder(256, "instance", self.n_first_channels,
+                                 name="fnet")
+        self.cnet = BasicEncoder(hdim + cdim, "batch",
+                                 self.n_first_channels, name="cnet")
+        self.update_block = BasicUpdateBlock(hdim, name="update_block")
+
+    def encode(self, voxel: Array) -> Array:
+        """fnet features of one (unpadded) voxel: (B,H,W,bins) ->
+        (B,Hp/8,Wp/8,256). Pure per-sample (instance norm), so batching
+        it over time steps is numerically identical to the per-pair
+        encoding in __call__."""
+        img, _ = _pad32(voxel)
+        return self.fnet(img)
+
+    def step_with_fmaps(self, fmap1: Array, fmap2: Array, voxel2: Array,
+                        state: Array, train: bool = False):
+        """One refinement step from precomputed fnet features (the
+        remainder of __call__: correlation pyramid, cnet context of
+        voxel2, iterative updates, convex upsample, warm-start splat)."""
         subtype = self.config["subtype"].lower()
         assert subtype in ("standard", "warm_start"), subtype  # eraft.py:102-105
-        hdim = cdim = 128
-        img1, (ph, pw) = _pad32(voxel1)
-        img2, _ = _pad32(voxel2)
-
-        fnet = BasicEncoder(256, "instance", self.n_first_channels,
-                            name="fnet")
-        both = jnp.concatenate([img1, img2], axis=0)   # batched trunk call
-        fmaps = fnet(both)
-        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        hdim = 128
+        img2, (ph, pw) = _pad32(voxel2)
         pyramid = correlation_pyramid(fmap1, fmap2)
 
-        cnet = BasicEncoder(hdim + cdim, "batch", self.n_first_channels,
-                            name="cnet")(img2, train=train)
+        # cnet BN stays per-pair: live batch statistics are computed per
+        # sequential call, matching the reference's pair-by-pair training
+        cnet = self.cnet(img2, train=train)
         net, inp = jnp.split(cnet, [hdim], axis=-1)
         net = jnp.tanh(net)
         inp = nn.relu(inp)
@@ -355,8 +406,6 @@ class ERAFT(nn.Module):
         # (eraft.py:113-114,141-146) — the zero init_state == None
         coords1 = coords0 + state
 
-        update = BasicUpdateBlock(hdim, name="update_block")
-
         # refinement iterations (python loop: flax params shared across
         # calls; only the final iteration's mask/upsample is used,
         # reference keeps flow_list[-1], eraft.py:141-146)
@@ -365,7 +414,7 @@ class ERAFT(nn.Module):
             coords1 = jax.lax.stop_gradient(coords1)
             corr = lookup_pyramid(pyramid, coords1)
             flow = coords1 - coords0
-            net, up_mask, delta = update(net, inp, corr, flow)
+            net, up_mask, delta = self.update_block(net, inp, corr, flow)
             coords1 = coords1 + delta
         flow_low = coords1 - coords0
         flow_up = convex_upsample(flow_low, up_mask)
@@ -373,6 +422,16 @@ class ERAFT(nn.Module):
         flow_up = flow_up[:, ph:, pw:, :]
         new_state = forward_interpolate(jax.lax.stop_gradient(flow_low))
         return {"flow": flow_up}, new_state
+
+    def __call__(self, voxel1: Array, voxel2: Array, state: Array,
+                 train: bool = False):
+        img1, _ = _pad32(voxel1)
+        img2, _ = _pad32(voxel2)
+        both = jnp.concatenate([img1, img2], axis=0)   # batched trunk call
+        fmaps = self.fnet(both)
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        return self.step_with_fmaps(fmap1, fmap2, voxel2, state,
+                                    train=train)
 
     @nn.nowrap
     def init_state(self, batch: int, height: int, width: int,

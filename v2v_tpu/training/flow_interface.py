@@ -97,26 +97,39 @@ class FlowModelInterface(ModelInterface):
         carry lives in `state` (reference model/eraft/eraft.py:141-146).
         When training, cnet BatchNorm runs with live batch statistics
         and its running stats thread through the scan (the reference
-        trains BN live — train.py:72, no freeze_bn call)."""
-        prev = jnp.swapaxes(events[:, :-1], 0, 1)
-        curr = jnp.swapaxes(events[:, 1:], 0, 1)
+        trains BN live — train.py:72, no freeze_bn call).
+
+        fnet features are computed once per VOXEL outside the rematted
+        pair step (each voxel is `curr` of one pair and `prev` of the
+        next; fnet is per-sample instance-norm, so hoisting is
+        numerically identical) — halves the encoder cost, which
+        dominates the forward FLOPs. lax.map chunks the encode per time
+        step; jax.checkpoint keeps only the (T+1, B, H/8, W/8, 256)
+        feature maps live for the backward."""
+        xs_t = jnp.swapaxes(events, 0, 1)          # (T+1, B, H, W, bins)
+
+        def encode(voxel):
+            return self.model.apply(params, voxel, method="encode")
+
+        fmaps = jax.lax.map(jax.checkpoint(encode), xs_t)
 
         def apply_fn(variables, carry, x, mutable):
-            v0, v1 = x
+            f1, f2, v1 = x
             if mutable:
                 (out, carry), mut = self.model.apply(
-                    variables, v0, v1, carry, train=train,
-                    mutable=["batch_stats"])
+                    variables, f1, f2, v1, carry, train=train,
+                    mutable=["batch_stats"], method="step_with_fmaps")
                 return (out["flow"], carry), mut
-            out, carry = self.model.apply(variables, v0, v1, carry,
-                                          train=train)
+            out, carry = self.model.apply(variables, f1, f2, v1, carry,
+                                          train=train,
+                                          method="step_with_fmaps")
             return out["flow"], carry
 
         # 12 GRU iterations per pair x T pairs of activations would not
         # fit; the scan remat recomputes per pair in the backward pass
         final_state, flows, updates = scan_recurrent(
-            apply_fn, params, state, (prev, curr), train,
-            self.remat_policy)
+            apply_fn, params, state, (fmaps[:-1], fmaps[1:], xs_t[1:]),
+            train, self.remat_policy)
         return jnp.swapaxes(flows, 0, 1), final_state, updates
 
     def calc_loss(self, pred: Array, batch: Dict[str, Array],

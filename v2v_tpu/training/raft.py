@@ -248,42 +248,62 @@ def _upsample_align_corners(x: Array, factor: int) -> Array:
     return jnp.einsum("Hh,bhwc,Ww->bHWc", mat(h, hh), x, mat(w, ww))
 
 
+def _pad8(x: Array) -> Array:
+    """Bottom/right zero-pad to x8 (torchvision pads this way, unlike
+    ERAFT's top/left ImagePadder)."""
+    h, w = x.shape[1:3]
+    return jnp.pad(x, ((0, 0), (0, (8 - h % 8) % 8),
+                       (0, (8 - w % 8) % 8), (0, 0)))
+
+
 class RAFT(nn.Module):
-    """torchvision-compatible RAFT. 3-channel images in [-1, 1]."""
+    """torchvision-compatible RAFT. 3-channel images in [-1, 1].
+
+    setup-style so the feature encoder is independently callable
+    (method=RAFT.encode): raft_flow supervises CONSECUTIVE frame pairs,
+    so each interior frame is image1 of one pair and image2 of the next
+    — encoding unique frames once (exact: instance norm is per-sample)
+    saves ~half the feature-encoder work. Attribute names match the
+    pinned torchvision converter tree (feature_encoder /
+    context_encoder / update_block / mask_predictor)."""
     small: bool = False
     iters: int = 12
 
-    @nn.compact
-    def __call__(self, image1: Array, image2: Array) -> Array:
-        if self.small:
-            feat_layers = (32, 32, 64, 96, 128)
-            ctx_layers = (32, 32, 64, 96, 160)
-            hdim, cdim = 96, 64
-            radius, bottleneck = 3, True
-        else:
-            feat_layers = (64, 64, 96, 128, 256)
-            ctx_layers = (64, 64, 96, 128, 256)
-            hdim, cdim = 128, 128
-            radius, bottleneck = 4, False
-        update_block = TVUpdateBlock(self.small, name="update_block")
-
-        b, h, w, _ = image1.shape
-        ph = (8 - h % 8) % 8
-        pw = (8 - w % 8) % 8
-        image1 = jnp.pad(image1, ((0, 0), (0, ph), (0, pw), (0, 0)))
-        image2 = jnp.pad(image2, ((0, 0), (0, ph), (0, pw), (0, 0)))
-
-        fnet = TVFeatureEncoder(feat_layers, "instance", bottleneck,
-                                name="feature_encoder")
-        fmaps = fnet(jnp.concatenate([image1, image2], axis=0))
-        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
-        pyramid = correlation_pyramid(fmap1, fmap2)
-
+    def setup(self):
+        feat_layers = ((32, 32, 64, 96, 128) if self.small
+                       else (64, 64, 96, 128, 256))
+        ctx_layers = ((32, 32, 64, 96, 160) if self.small
+                      else (64, 64, 96, 128, 256))
+        self.feature_encoder = TVFeatureEncoder(
+            feat_layers, "instance", self.small)
         # torchvision: context norm is BatchNorm2d for raft_large, None
         # for raft_small (original RAFT SmallEncoder norm_fn='none')
-        cnet = TVFeatureEncoder(ctx_layers,
-                                None if self.small else "batch",
-                                bottleneck, name="context_encoder")(image1)
+        self.context_encoder = TVFeatureEncoder(
+            ctx_layers, None if self.small else "batch", self.small)
+        self.update_block = TVUpdateBlock(self.small)
+        if not self.small:
+            self.mask_predictor = TVMaskPredictor()
+
+    def encode(self, images: Array) -> Array:
+        """feature_encoder of [-1,1] images: (N,H,W,3) ->
+        (N,Hp/8,Wp/8,D). Per-sample (instance norm / frozen BN), so
+        batching frames across time is numerically identical to the
+        per-pair encoding in __call__."""
+        return self.feature_encoder(_pad8(images))
+
+    def flow_from_fmaps(self, fmap1: Array, fmap2: Array,
+                        image1: Array) -> Array:
+        """The remainder of __call__ from precomputed feature maps:
+        correlation pyramid, context of image1 (unpadded), iterative
+        updates, upsample, crop back to image1's resolution."""
+        hdim = 96 if self.small else 128
+        radius = 3 if self.small else 4
+
+        h, w = image1.shape[1:3]
+        image1 = _pad8(image1)
+        pyramid = correlation_pyramid(fmap1, fmap2)
+
+        cnet = self.context_encoder(image1)
         net, inp = jnp.split(cnet, [hdim], axis=-1)
         net = jnp.tanh(net)
         inp = nn.relu(inp)
@@ -295,18 +315,15 @@ class RAFT(nn.Module):
                              jnp.broadcast_to(ys, (hb, h8, w8))], axis=-1)
         coords1 = coords0
 
-        if not self.small:
-            mask_predictor = TVMaskPredictor(name="mask_predictor")
-
         up_mask = None
         for _ in range(self.iters):
             coords1 = jax.lax.stop_gradient(coords1)
             corr = lookup_pyramid(pyramid, coords1, radius=radius)
             flow = coords1 - coords0
-            net, delta = update_block(net, inp, flow, corr)
+            net, delta = self.update_block(net, inp, flow, corr)
             coords1 = coords1 + delta
             if not self.small:
-                up_mask = mask_predictor(net)
+                up_mask = self.mask_predictor(net)
 
         flow_low = coords1 - coords0
         if self.small:
@@ -317,6 +334,11 @@ class RAFT(nn.Module):
         else:
             flow_up = convex_upsample(flow_low, up_mask)
         return flow_up[:, :h, :w, :]
+
+    def __call__(self, image1: Array, image2: Array) -> Array:
+        fmaps = self.encode(jnp.concatenate([image1, image2], axis=0))
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        return self.flow_from_fmaps(fmap1, fmap2, image1)
 
 
 _BACKBONES = {"raft_small": "raft_small.pth", "raft_large": "raft_large.pth"}
@@ -374,18 +396,26 @@ def raft_flow(source: str, frames: Array, l0: int = 1,
         raise ValueError(
             f"raft_flow: sequence has {t} frames but temporal_consistency_"
             f"L0={l0}; need at least L0+1 frames to form a flow pair")
-    img1 = frames[:, l0 - 1:-1].reshape((-1, h, w, c)) * 2 - 1
-    img2 = frames[:, l0:].reshape((-1, h, w, c)) * 2 - 1
+    # consecutive pairs share interior frames: encode each of the
+    # t-l0+1 unique frames once (exact — see RAFT.encode), then pair up
+    n = t - l0 + 1
+    imgs = frames[:, l0 - 1:].reshape((-1, h, w, c)) * 2 - 1
     if c == 1:
-        img1 = jnp.repeat(img1, 3, axis=-1)
-        img2 = jnp.repeat(img2, 3, axis=-1)
+        imgs = jnp.repeat(imgs, 3, axis=-1)
     if compute_dtype is not None:
         cast = lambda x: x.astype(compute_dtype) if jnp.issubdtype(
             x.dtype, jnp.floating) else x
-        img1, img2 = cast(img1), cast(img2)
+        imgs = cast(imgs)
         params = jax.tree.map(cast, params)
+    fmaps = model.apply(params, imgs, method="encode")
+    fseq = fmaps.reshape((b, n) + fmaps.shape[1:])
+    fmap1 = fseq[:, :-1].reshape((-1,) + fmaps.shape[1:])
+    fmap2 = fseq[:, 1:].reshape((-1,) + fmaps.shape[1:])
+    img1 = imgs.reshape((b, n, h, w, -1))[:, :-1].reshape(
+        (-1, h, w, imgs.shape[-1]))
     flow = jax.lax.stop_gradient(
-        model.apply(params, img1, img2)).astype(frames.dtype)
+        model.apply(params, fmap1, fmap2, img1,
+                    method="flow_from_fmaps")).astype(frames.dtype)
     flow = flow.reshape(b, t - l0, h, w, 2)
     zeros = jnp.zeros((b, l0, h, w, 2), flow.dtype)
     return jnp.concatenate([zeros, flow], axis=1)

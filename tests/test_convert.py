@@ -246,6 +246,6 @@ def test_validate_checkpoint_script(tmp_path):
                                       "validate_checkpoint.py"),
          cfg, ckpt, "--steps", "2", "--height", "32", "--width", "40"],
         capture_output=True, timeout=600,
-        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+        env=__import__("subproc_env").cpu_env())
     assert out.returncode == 0, out.stdout + out.stderr
     assert b"PASS" in out.stdout, out.stdout

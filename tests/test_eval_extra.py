@@ -86,7 +86,7 @@ def test_convert_cli_roundtrip(tmp_path):
          os.path.join(REPO, "scripts", "convert_checkpoint_from_original.py"),
          "convert", cfg_path, pth, out_path],
         capture_output=True, text=True, cwd=REPO,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        env=__import__("subproc_env").cpu_env())
     assert r.returncode == 0, r.stderr
 
     from v2v_tpu.models.model import E2VIDRecurrent

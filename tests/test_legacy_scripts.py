@@ -109,10 +109,10 @@ def test_memmap_dataset(tmp_path):
 
 
 def _run(script, *args):
+    from subproc_env import cpu_env
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", script), *args],
-        capture_output=True, text=True, cwd=REPO,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        capture_output=True, text=True, cwd=REPO, env=cpu_env())
 
 
 def test_generate_random_thresholds_script(tmp_path):

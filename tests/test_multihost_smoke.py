@@ -53,8 +53,9 @@ def test_two_process_data_parallel(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER.format(
         repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    from subproc_env import cpu_env
+    env = cpu_env("XLA_FLAGS", "JAX_PLATFORMS")
+    del env["JAX_PLATFORMS"]   # the worker script pins cpu itself
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(pid), str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,

@@ -249,6 +249,124 @@ def test_hs_ergb_to_h5(tmp_path):
     assert item["events"].shape[-1] == 5
 
 
+# --------------------------------------------------------------- aedat4
+
+class _FakeEventBatch:
+    def __init__(self, arr):
+        self._arr = arr
+
+    def numpy(self):
+        return self._arr
+
+
+class _FakeMonoCameraRecording:
+    """Mimics dv_processing.io.MonoCameraRecording enough for convert()."""
+    W, H = 24, 18
+
+    def __init__(self, path):
+        rng = np.random.RandomState(5)
+        dt = np.dtype([("timestamp", np.int64), ("x", np.int16),
+                       ("y", np.int16), ("polarity", np.int8)])
+        self._batches = []
+        t0 = 1_700_000_000_000_000  # µs epoch stamps, like real captures
+        for _ in range(3):
+            arr = np.zeros(40, dtype=dt)
+            arr["timestamp"] = t0 + np.sort(rng.randint(0, 50_000, 40))
+            t0 += 50_000
+            arr["x"] = rng.randint(0, self.W, 40)
+            arr["y"] = rng.randint(0, self.H, 40)
+            arr["polarity"] = rng.randint(0, 2, 40)
+            self._batches.append(arr)
+        self._i = 0
+
+    def isRunning(self):
+        return self._i < len(self._batches)
+
+    def getNextEventBatch(self):
+        arr = self._batches[self._i]
+        self._i += 1
+        return _FakeEventBatch(arr)
+
+    def getEventResolution(self):
+        return (self.W, self.H)  # dv API order: (width, height)
+
+
+def test_aedat4_to_h5(tmp_path, monkeypatch):
+    """Exercises the convert loop + events-only output contract with a
+    faked dv_processing (the real pybind package isn't bundled)."""
+    import types
+    fake = types.ModuleType("dv_processing")
+    fake.io = types.SimpleNamespace(MonoCameraRecording=_FakeMonoCameraRecording)
+    monkeypatch.setitem(sys.modules, "dv_processing", fake)
+    from aedat4_to_h5 import convert
+    out = str(tmp_path / "evbird_seq.h5")
+    convert("capture.aedat4", out)
+    with h5py.File(out, "r") as f:
+        ts = f["events/ts"][:]
+        assert ts.dtype == np.float64
+        assert np.all(np.diff(ts) >= 0)
+        assert len(ts) == 3 * 40 == int(f.attrs["num_events"])
+        assert f["events/xs"].dtype == np.uint16
+        assert f["events/ps"].dtype == np.uint8
+        assert set(np.unique(f["events/ps"][:])) <= {0, 1}
+        assert tuple(f.attrs["sensor_resolution"]) == (18, 24)  # (H, W)
+        assert f.attrs["data_source"] == "evbird"
+
+    # the evbird test config reads these through FPS_H5Dataset
+    from v2v_tpu.data.h5 import FPSH5Dataset
+    ds = FPSH5Dataset(out, {"FPS": 20, "sequence_length": 2, "num_bins": 5,
+                            "H": 18, "W": 24,
+                            "use_native_voxel_builder": False})
+    item = ds[0]
+    assert item["events"].shape[-1] == 5
+    assert np.isfinite(item["events"]).all()
+
+
+# ------------------------------------------------------ config generator
+
+def test_generate_configs_roundtrip(tmp_path):
+    """The checked-in configs/ must be exactly what the generator emits
+    (no silent hand edits), and every target string in them must resolve
+    through TARGET_ALIASES (the reference-schema public API)."""
+    import generate_configs as gc
+    import yaml
+    from v2v_tpu.config import resolve_target
+
+    out = str(tmp_path / "configs")
+    orig_out = gc.OUT
+    gc.OUT = out
+    try:
+        gc.main()
+    finally:
+        gc.OUT = orig_out
+
+    generated = sorted(os.listdir(out))
+    assert generated == sorted(
+        f for f in os.listdir(os.path.join(REPO, "configs"))
+        if f.endswith(".yaml"))
+    for name in generated:
+        with open(os.path.join(out, name), "rb") as a, \
+                open(os.path.join(REPO, "configs", name), "rb") as b:
+            assert a.read() == b.read(), f"{name} out of sync — rerun " \
+                "scripts/generate_configs.py"
+
+    for name in generated:
+        with open(os.path.join(out, name)) as f:
+            cfg = yaml.safe_load(f)
+        assert resolve_target(cfg["module"]["model"]["target"]) is not None
+        blocks = []
+        for st in cfg.get("train_stages", []):
+            assert resolve_target(st["optimizer"]["target"]) is not None
+            if "lr_scheduler" in st:
+                assert resolve_target(st["lr_scheduler"]["target"]) is not None
+            for key in ("train", "val"):
+                blocks += st["dataset"].get(key) or []
+        blocks += cfg.get("test_stage", {}).get("test", [])
+        assert blocks, f"{name}: no dataset blocks found"
+        for blk in blocks:
+            assert resolve_target(blk["class_name"]) is not None
+
+
 # -------------------------------------------------- small report scripts
 
 def test_subsample_unfiltered_script(tmp_path):

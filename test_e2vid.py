@@ -1,12 +1,8 @@
 """CLI e2vid test entry point: `python test_e2vid.py config/test_xxx.yaml
 [test_all_checkpoints]`. Same interface as the reference test_e2vid.py.
+Installed wheels expose the same command as `v2v-test-e2vid`.
 """
-import sys
-
-from v2v_tpu.config import load_yaml
-from v2v_tpu.eval.harness import main
+from v2v_tpu.cli import test_e2vid
 
 if __name__ == "__main__":
-    config_path = sys.argv[1] if len(sys.argv) > 1 else "configs/template.yaml"
-    test_all = len(sys.argv) > 2
-    main(load_yaml(config_path), test_all_pths=test_all)
+    test_e2vid()

@@ -1,6 +1,7 @@
 """CLI train entry point: `python train.py config/train_xxx.yaml`.
 
 Same public interface as the reference (README.md:9-13, train.py:254-262).
+Installed wheels expose the same command as `v2v-train` (v2v_tpu/cli.py).
 
 Multi-host launch (replaces torchrun+NCCL DDP, reference train.py:41-58):
 run the same command on every host of the slice with the standard JAX
@@ -18,28 +19,7 @@ batch via `jax.make_array_from_process_local_data`
 (parallel/mesh.py:shard_batch); gradient all-reduce over ICI/DCN is
 inserted by XLA. Checkpoint/TensorBoard writes are process-0-gated.
 """
-import os
-import sys
-
-from v2v_tpu.config import load_yaml
-from v2v_tpu.training.train import main
+from v2v_tpu.cli import train
 
 if __name__ == "__main__":
-    # multi-host: single-controller JAX replaces torchrun/NCCL
-    # (reference train.py:41-47); the standard cluster env vars
-    # (JAX_COORDINATOR_ADDRESS / JAX_PROCESS_ID / JAX_NUM_PROCESSES or a
-    # supported cluster autodetect) trigger collective initialization
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
-            os.environ.get("JAX_NUM_PROCESSES"):
-        import jax
-        # jax.distributed.initialize() only auto-detects on Cloud TPU
-        # pods / Slurm / OMPI; for the generic env-var launch above the
-        # process count and id must be passed explicitly (JAX reads
-        # JAX_COORDINATOR_ADDRESS itself but NOT these two).
-        num = os.environ.get("JAX_NUM_PROCESSES")
-        pid = os.environ.get("JAX_PROCESS_ID")
-        jax.distributed.initialize(
-            num_processes=int(num) if num else None,
-            process_id=int(pid) if pid else None)
-    config_path = sys.argv[1] if len(sys.argv) > 1 else "configs/template.yaml"
-    main(load_yaml(config_path))
+    train()

@@ -103,6 +103,52 @@ def test_train_step_data_parallel_mesh():
     np.testing.assert_array_equal(shards[0], shards[-1])
 
 
+def test_train_step_sharded_matches_single_device():
+    """Sharding must not change the numbers: the same batch + PRNG key
+    through the 8-device data-parallel step and through the unsharded
+    step give the same loss and the same updated params (the all-reduce
+    mean equals the single-device batch mean; only summation order may
+    differ -> tight tolerances, not exact equality)."""
+    assert jax.device_count() >= 8
+    iface = ModelInterface(MODULE_CFG)
+    params, _ = iface.init(jax.random.PRNGKey(0), 8, 32, 32)
+    opt = Adam(lr=1e-3).make()
+    opt_state = opt.init(params)
+    batch = _video_batch(b=8)
+    key = jax.random.PRNGKey(1)
+    step = make_train_step(iface, opt, sim_cfg=SimConfig(), donate=False)
+
+    p1, _, loss1, _ = step(params, opt_state, batch, key)
+
+    mesh = make_mesh(8)
+    pr = replicate(params, mesh)
+    osr = replicate(opt_state, mesh)
+    p8, _, loss8, _ = step(pr, osr, shard_batch(batch, mesh), key)
+
+    assert np.isclose(float(loss1), float(loss8), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-7)
+
+
+def test_train_step_deterministic():
+    """Identical inputs -> bitwise identical loss and params (the whole
+    step, simulator RNG included, is a pure function of (params, batch,
+    key))."""
+    iface = ModelInterface(MODULE_CFG)
+    params, _ = iface.init(jax.random.PRNGKey(0), 2, 32, 32)
+    opt = Adam(lr=1e-3).make()
+    opt_state = opt.init(params)
+    batch = _video_batch()
+    key = jax.random.PRNGKey(7)
+    step = make_train_step(iface, opt, sim_cfg=SimConfig(), donate=False)
+    pa, _, la, _ = step(params, opt_state, batch, key)
+    pb, _, lb, _ = step(params, opt_state, batch, key)
+    assert float(la) == float(lb)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_flow_train_step_data_parallel_mesh():
     """Flow task (ERAFT, video mode) over the 8-device mesh: sim +
     pseudo-GT fill + warm-start carry + update, params stay replicated."""

@@ -48,11 +48,15 @@ def bench_family(name, module_cfg, resolutions, num_bins=5,
     from v2v_tpu.training.interface import ModelInterface
     from v2v_tpu.training.flow_interface import FlowModelInterface
 
+    def cast_tree(tree, dt):
+        return jax.tree.map(
+            lambda x: x.astype(dt) if hasattr(x, "dtype")
+            and jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
     rows = []
     for dtype in dtypes:
         cfg = dict(module_cfg)
         cfg.pop("loss", None)          # inference only
-        cfg["compute_dtype"] = None if dtype == "float32" else dtype
         iface = (FlowModelInterface if flow else ModelInterface)(cfg)
         step = jax.jit(lambda p, ev, st: iface.forward_sequence(
             p, ev, st, train=False))
@@ -63,7 +67,24 @@ def bench_family(name, module_cfg, resolutions, num_bins=5,
             t_in = T + 1 if flow else T   # ERAFT: pairs need T+1 voxels
             events = jnp.asarray(rng.randint(
                 -3, 4, (1, t_in, h, w, num_bins)).astype(np.float32))
-            pred, state_out = step(params, events, state)
+            if dtype != "float32":
+                # the serving-style low-precision configuration: cast
+                # weights, state, and input (compute_dtype only governs
+                # the train path; forward_sequence(train=False) runs in
+                # the dtypes it is handed)
+                dt = jnp.dtype(dtype)
+                params = cast_tree(params, dt)
+                events = events.astype(dt)
+                try:
+                    pred, state_out = step(params, events,
+                                           cast_tree(state, dt))
+                except TypeError:
+                    # models whose carry math promotes to f32 internally
+                    # (e.g. ERAFT's warm-start coordinate arithmetic)
+                    # keep an f32 carry; weights/activations still bf16
+                    pred, state_out = step(params, events, state)
+            else:
+                pred, state_out = step(params, events, state)
             float(jnp.sum(pred.astype(jnp.float32)))   # compile + sync
             ts = []
             st = state_out                 # carry state across dispatches

@@ -1,14 +1,16 @@
-"""Build the native C++ components (native/ -> shared libraries).
+"""Build the native C++ components (v2v_tpu/native/ -> shared libraries).
 
 Usage: python scripts/build_native.py
-Produces native/libvoxel_builder.so, loaded lazily by
-v2v_tpu.data.native (ctypes) with a numpy fallback when absent.
+Produces v2v_tpu/native/libvoxel_builder.so, loaded lazily by
+v2v_tpu.data.native (ctypes) with a numpy fallback when absent. The
+lazy loader also auto-builds on first use; this script just does it
+eagerly (and with -march=native for the local machine).
 """
 import os
 import subprocess
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-NATIVE = os.path.join(ROOT, "native")
+NATIVE = os.path.join(ROOT, "v2v_tpu", "native")
 
 
 def build() -> str:

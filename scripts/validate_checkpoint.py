@@ -63,12 +63,20 @@ def _nhwc(x):
     return np.transpose(x, (0, 2, 3, 1))
 
 
-def _to_torch_sd(tmodel, sd):
-    import torch
+def _to_torch_sd(tmodel, sd, non_strict=False):
     missing, unexpected = tmodel.load_state_dict(sd, strict=False)
     if missing or unexpected:
-        print(f"  [warn] non-strict torch load: missing={list(missing)[:5]} "
-              f"unexpected={list(unexpected)[:5]}")
+        # a key mismatch means the released weights were never actually
+        # installed — both sides would then compare the SAME random init
+        # and report a meaningless PASS. Fatal unless explicitly waived.
+        msg = (f"checkpoint/model key mismatch: "
+               f"missing={list(missing)[:5]} "
+               f"unexpected={list(unexpected)[:5]} "
+               f"({len(missing)} missing / {len(unexpected)} unexpected)")
+        if not non_strict:
+            raise SystemExit(f"FAIL: {msg} — wrong config/checkpoint pair? "
+                             f"(--non-strict to override)")
+        print(f"  [warn] {msg}")
     tmodel.eval()
 
 
@@ -88,6 +96,10 @@ def main():
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--tol", type=float, default=None)
+    ap.add_argument("--non-strict", action="store_true",
+                    help="tolerate checkpoint/model key mismatches "
+                         "(default: fatal — they mean the weights were "
+                         "never loaded)")
     args = ap.parse_args()
 
     import numpy as np
@@ -114,7 +126,8 @@ def main():
 
     print(f"target {target} [{kind}]  checkpoint {args.checkpoint}")
     tmodel = _ref_class(target)(**params_cfg)
-    _to_torch_sd(tmodel, _load_state_dict(args.checkpoint))
+    _to_torch_sd(tmodel, _load_state_dict(args.checkpoint),
+                 non_strict=args.non_strict)
 
     fmodel = instantiate_from_config(model_cfg)
     rng = np.random.RandomState(0)

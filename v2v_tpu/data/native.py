@@ -1,6 +1,7 @@
 """ctypes bindings for the native C++ voxel builder
-(native/voxel_builder.cpp). Auto-builds on first use when a compiler is
-available; falls back to the numpy implementation otherwise.
+(v2v_tpu/native/voxel_builder.cpp — shipped in the wheel). Auto-builds
+on first use when a compiler is available; falls back to the numpy
+implementation otherwise.
 
 `events_to_voxel_native` is semantics-identical to
 `ops.voxel.events_to_voxel_np` (the h5 test-path voxelizer) — validated
@@ -18,11 +19,27 @@ import numpy as np
 
 from ..ops.voxel import events_to_voxel_np
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-_LIB_PATH = os.path.join(_ROOT, "native", "libvoxel_builder.so")
+# the C++ source ships inside the package (pyproject package-data), so
+# pip-installed wheels build it too; the .so lands next to the source
+# when that directory is writable, else in ~/.cache/v2v_tpu
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "voxel_builder.cpp")
+_CACHE_DIR = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+    "v2v_tpu")
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _lib_path() -> str:
+    for d in (_NATIVE_DIR, _CACHE_DIR):
+        p = os.path.join(d, "libvoxel_builder.so")
+        if os.path.exists(p):
+            return p
+    return os.path.join(
+        _NATIVE_DIR if os.access(_NATIVE_DIR, os.W_OK) else _CACHE_DIR,
+        "libvoxel_builder.so")
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -30,21 +47,22 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        src = os.path.join(_ROOT, "native", "voxel_builder.cpp")
+    lib_path = _lib_path()
+    if not os.path.exists(lib_path):
         try:
+            os.makedirs(os.path.dirname(lib_path), exist_ok=True)
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                 src, "-o", _LIB_PATH],
+                 _SRC_PATH, "-o", lib_path],
                 check=True, capture_output=True, timeout=120)
         except Exception as e:
             warnings.warn(f"native voxel builder unavailable ({e}); "
                           "using numpy fallback")
             return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(lib_path)
     except OSError as e:
-        warnings.warn(f"failed to load {_LIB_PATH}: {e}")
+        warnings.warn(f"failed to load {lib_path}: {e}")
         return None
     dp = ctypes.POINTER(ctypes.c_double)
     ip = ctypes.POINTER(ctypes.c_int32)

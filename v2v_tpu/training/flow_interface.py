@@ -113,8 +113,15 @@ class FlowModelInterface(ModelInterface):
 
         fmaps = jax.lax.map(jax.checkpoint(encode), xs_t)
 
-        def apply_fn(variables, carry, x, mutable):
-            f1, f2, v1 = x
+        def apply_fn(variables, carry, t, mutable):
+            # scan over the pair INDEX and slice the shared buffers in
+            # the body: scanning over (fmaps[:-1], fmaps[1:], xs_t[1:])
+            # would materialize two nearly-full fmaps copies plus a
+            # duplicate events buffer as scan operands; as closed-over
+            # scan constants each exists once (grads still flow)
+            f1 = jax.lax.dynamic_index_in_dim(fmaps, t, keepdims=False)
+            f2 = jax.lax.dynamic_index_in_dim(fmaps, t + 1, keepdims=False)
+            v1 = jax.lax.dynamic_index_in_dim(xs_t, t + 1, keepdims=False)
             if mutable:
                 (out, carry), mut = self.model.apply(
                     variables, f1, f2, v1, carry, train=train,
@@ -128,7 +135,7 @@ class FlowModelInterface(ModelInterface):
         # 12 GRU iterations per pair x T pairs of activations would not
         # fit; the scan remat recomputes per pair in the backward pass
         final_state, flows, updates = scan_recurrent(
-            apply_fn, params, state, (fmaps[:-1], fmaps[1:], xs_t[1:]),
+            apply_fn, params, state, jnp.arange(xs_t.shape[0] - 1),
             train, self.remat_policy)
         return jnp.swapaxes(flows, 0, 1), final_state, updates
 

@@ -32,6 +32,7 @@ from flax import linen as nn
 from ..models.eraft import (FrozenBatchNorm, convex_upsample,
                             correlation_pyramid, instance_norm,
                             lookup_pyramid)
+from ..ops.pad import pad_to_multiple
 
 Array = jax.Array
 
@@ -251,9 +252,7 @@ def _upsample_align_corners(x: Array, factor: int) -> Array:
 def _pad8(x: Array) -> Array:
     """Bottom/right zero-pad to x8 (torchvision pads this way, unlike
     ERAFT's top/left ImagePadder)."""
-    h, w = x.shape[1:3]
-    return jnp.pad(x, ((0, 0), (0, (8 - h % 8) % 8),
-                       (0, (8 - w % 8) % 8), (0, 0)))
+    return pad_to_multiple(x, 8)[0]
 
 
 class RAFT(nn.Module):

@@ -98,6 +98,31 @@ def test_events_to_voxel_np_matches_mass_and_dtype(batch, num_bins):
     assert np.all(vox == np.round(vox))
 
 
+@settings(**COMMON)
+@given(st.integers(1, 400), st.integers(2, 40), st.integers(2, 40),
+       st.integers(1, 6), st.booleans(), st.booleans(),
+       st.integers(0, 2**31 - 1))
+def test_native_builder_matches_numpy_everywhere(n, h, w, num_bins,
+                                                 interp, same_ts, seed):
+    """The C++ builder must equal the numpy voxelizer on arbitrary
+    event streams, including degenerate ones (single event, all events
+    at one timestamp, duplicate coords)."""
+    from v2v_tpu.data.native import events_to_voxel_native, native_available
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.RandomState(seed)
+    ts = (np.full(n, 1000.0) if same_ts
+          else np.sort(rng.rand(n)) * 0.05 + 1000.0)
+    xs = rng.randint(0, w, n).astype(np.uint16)
+    ys = rng.randint(0, h, n).astype(np.uint16)
+    ps = rng.randint(0, 2, n).astype(np.uint8)
+    want = events_to_voxel_np(ts, xs, ys, ps, num_bins=num_bins,
+                              height=h, width=w, interpolate_bins=interp)
+    got = events_to_voxel_native(ts, xs, ys, ps, num_bins=num_bins,
+                                 height=h, width=w, interpolate_bins=interp)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
 # ------------------------------------------------------------------ warp
 
 @st.composite

@@ -5,10 +5,16 @@ YAML, optional argv[2] = "test all checkpoints" for the test drivers
 (reference test_e2vid.py:113-125).
 """
 import os
+import subprocess
+import sys
 
 import yaml
 
 from v2v_tpu import cli
+from subproc_env import cpu_env
+from test_end_to_end import make_config, workspace  # noqa: F401 (fixture)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _write_cfg(tmp_path, payload):
@@ -74,6 +80,43 @@ def test_test_drivers_argv2_means_test_all(tmp_path, monkeypatch):
     assert calls == [("e2vid", "cli_exp", False),
                      ("e2vid", "cli_exp", True),
                      ("flow", "cli_exp", True)]
+
+
+def test_cli_subprocess_train_then_eval(workspace):  # noqa: F811
+    """The actual `python train.py cfg.yaml` / `python test_e2vid.py
+    cfg.yaml` subprocess contract (reference README.md:9-13): train one
+    tiny epoch, checkpoint lands via the ckpt_paths protocol, then the
+    eval CLI scores it into the CSV. Everything resolves relative to
+    the invoking cwd, like the reference."""
+    tmp_path, webvid_root_file, video_list, h5_list = workspace
+    cfg = make_config(tmp_path, webvid_root_file, video_list, h5_list)
+    cfg["train_stages"][0]["max_epochs"] = 1
+    cfg["train_stages"][0]["dataset"]["train"][0]["max_samples_per_shot"] = 2
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    (tmp_path / "ckpt_paths").mkdir(exist_ok=True)
+
+    env = cpu_env()
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"), str(cfg_path)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpt_list = tmp_path / "ckpt_paths" / "smoke_e2e.txt"
+    assert ckpt_list.exists(), r.stderr[-2000:]
+    assert ckpt_list.read_text().strip().endswith("epoch_0000.msgpack")
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "test_e2vid.py"), str(cfg_path)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    csv = tmp_path / "tensorboard_logs" / "smoke_e2e" / \
+        "all_test_results_new.csv"
+    lines = csv.read_text().splitlines()
+    assert lines[0].startswith("Checkpoint_path,")
+    assert lines[1].startswith("epoch_0000.msgpack,")
 
 
 def test_console_scripts_registered():

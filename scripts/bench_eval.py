@@ -35,10 +35,13 @@ T = 40          # frames per eval window (test harness chunk)
 REPS = 5
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FAMILIES = ("e2vid", "e2vid++", "firenet", "etnet", "hyper", "eraft")
+
+
 def load_module_cfg(path):
-    import yaml
-    with open(path) as f:
-        return yaml.safe_load(f)["module"]
+    from v2v_tpu.config import load_yaml
+    return load_yaml(os.path.join(REPO, path))["module"]
 
 
 def bench_family(name, module_cfg, resolutions, num_bins=5,
@@ -137,12 +140,15 @@ def main(families):
         all_rows += bench_family(
             "eraft", load_module_cfg(f"{cfgs}/test_eraft_original.yaml"),
             [MVSEC], num_bins=15, flow=True)
-    print("\nname resolution dtype ms/frame fps")
+    print("\nname,dataset,resolution,dtype,ms_per_frame,fps")
     for r in all_rows:
         print(f"{r[0]},{r[1]},{r[2]},{r[3]},{r[4]:.2f},{r[5]:.1f}")
 
 
 if __name__ == "__main__":
-    fams = sys.argv[1:] or ["e2vid", "e2vid++", "firenet", "etnet",
-                            "hyper", "eraft"]
+    fams = sys.argv[1:] or list(FAMILIES)
+    unknown = set(fams) - set(FAMILIES)
+    if unknown:
+        sys.exit(f"unknown families {sorted(unknown)}; "
+                 f"choose from {FAMILIES}")
     main(fams)

@@ -42,6 +42,21 @@ def _lib_path() -> str:
         "libvoxel_builder.so")
 
 
+def build(out_path: Optional[str] = None, extra_flags: tuple = (),
+          quiet: bool = True) -> str:
+    """Compile the builder. The single source of truth for the g++
+    command line (scripts/build_native.py calls this with
+    -march=native)."""
+    out_path = out_path or _lib_path()
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    cmd = ["g++", "-O3", *extra_flags, "-shared", "-fPIC", "-std=c++17",
+           "-pthread", _SRC_PATH, "-o", out_path]
+    if not quiet:
+        print(" ".join(cmd))
+    subprocess.run(cmd, check=True, capture_output=quiet, timeout=300)
+    return out_path
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
@@ -50,11 +65,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib_path = _lib_path()
     if not os.path.exists(lib_path):
         try:
-            os.makedirs(os.path.dirname(lib_path), exist_ok=True)
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                 _SRC_PATH, "-o", lib_path],
-                check=True, capture_output=True, timeout=120)
+            build(lib_path)
         except Exception as e:
             warnings.warn(f"native voxel builder unavailable ({e}); "
                           "using numpy fallback")

@@ -322,6 +322,59 @@ def test_aedat4_to_h5(tmp_path, monkeypatch):
     assert np.isfinite(item["events"]).all()
 
 
+def test_qwen_vl_annotate_filtering(tmp_path, monkeypatch):
+    """The filtered-list logic with a faked Qwen2.5-VL (real weights
+    need a network download): keep quality >= min and non-static,
+    skip malformed replies."""
+    import types
+
+    replies = {
+        "good.mp4": 'Sure. {"quality": 4, "static": false}',
+        "blurry.mp4": '{"quality": 2, "static": false}',
+        "static.mp4": '{"quality": 5, "static": true}',
+        "garbled.mp4": "cannot assess",
+    }
+
+    class _FakeInputs(dict):
+        def to(self, device):
+            return self
+
+    class _FakeProcessor:
+        last_video = None
+
+        def apply_chat_template(self, messages, **kw):
+            _FakeProcessor.last_video = messages[0]["content"][0]["video"]
+            return "prompt"
+
+        def __call__(self, text, videos, return_tensors):
+            return _FakeInputs()
+
+        def batch_decode(self, out, **kw):
+            name = os.path.basename(_FakeProcessor.last_video)
+            return [replies[name]]
+
+    class _FakeModel:
+        device = "cpu"
+
+        def generate(self, **kw):
+            return ["ids"]
+
+    fake = types.ModuleType("transformers")
+    fake.AutoProcessor = types.SimpleNamespace(
+        from_pretrained=lambda name: _FakeProcessor())
+    fake.Qwen2_5_VLForConditionalGeneration = types.SimpleNamespace(
+        from_pretrained=lambda name, **kw: _FakeModel())
+    monkeypatch.setitem(sys.modules, "transformers", fake)
+
+    lst = tmp_path / "videos.txt"
+    lst.write_text("good.mp4 100\nblurry.mp4 90\n"
+                   "static.mp4 80\ngarbled.mp4 70\n")
+    out = tmp_path / "filtered.txt"
+    import qwen_vl_annotate
+    qwen_vl_annotate.main(str(tmp_path), str(lst), str(out))
+    assert out.read_text().strip() == "good.mp4 100"
+
+
 # ------------------------------------------------------ config generator
 
 def test_generate_configs_roundtrip(tmp_path):

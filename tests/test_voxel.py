@@ -69,6 +69,53 @@ def test_esim_with_explicit_noise_matches_golden():
     _agree(got, want)
 
 
+def test_esim_matches_reference_module():
+    """Run the REFERENCE data/v2v_core_esim.py EventEmulator itself
+    (not just the in-tree golden twin) on identical inputs and global
+    RNG state: the numpy parity path must be bit-identical with full
+    noise on, and the jitted device path must agree on the noise-free
+    counts given the same initial potential."""
+    import importlib
+    import os
+    import sys
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    sys.path.insert(0, "/root/reference")
+    try:
+        ref = importlib.import_module("data.v2v_core_esim")
+    finally:
+        sys.path.remove("/root/reference")
+
+    video = _rand_video().astype(np.float64)
+    kwargs = dict(pos_thres=0.21, neg_thres=0.17, base_noise_std=0.05,
+                  hot_pixel_fraction=0.01, hot_pixel_std=0.5)
+
+    for ext in (False, True):
+        np.random.seed(123)
+        want = ref.EventEmulator(
+            put_noise_external=ext, **kwargs).video_to_voxel(video.copy())
+        np.random.seed(123)
+        got = vx.esim_video_to_voxel_np(video.copy(),
+                                        put_noise_external=ext, **kwargs)
+        np.testing.assert_array_equal(got, want)   # bit-identical
+
+    # device path, noise-free: replay the reference's potential init
+    # draw, run its emulator with all noise at zero, compare counts
+    np.random.seed(7)
+    want = ref.EventEmulator(pos_thres=0.21, neg_thres=0.17,
+                             base_noise_std=0.0, hot_pixel_fraction=0.0,
+                             hot_pixel_std=0.0).video_to_voxel(video.copy())
+    np.random.seed(7)
+    h, w = video.shape[1:]
+    init_pot = np.random.rand(h, w) * (0.21 + 0.17) - 0.17
+    params = vx.SimParams(jnp.float32(0.21), jnp.float32(0.17),
+                          jnp.float32(0), jnp.float32(0), jnp.float32(0))
+    got = jax.jit(lambda v, p: vx.esim_video_to_voxel(
+        v, params, init_potential=p))(
+            jnp.asarray(video, jnp.float32), jnp.asarray(init_pot))
+    _agree(got, want)
+
+
 def test_esim_put_noise_external():
     video = _rand_video(n=11, seed=3)
     params = vx.SimParams(jnp.float32(0.4), jnp.float32(0.4),

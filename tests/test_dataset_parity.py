@@ -74,6 +74,85 @@ def test_testh5_dataset_matches_reference(tmp_path, cfg):
         assert a["sequence_name"] == b["sequence_name"][0]
 
 
+def _ref_event_utils():
+    sys.path.insert(0, REFERENCE)
+    try:
+        import importlib
+        return importlib.import_module("utils.event_utils")
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+def test_event_kernels_match_reference_module():
+    """Direct parity with the reference utils/event_utils.py torch
+    kernels (not just our internal spec twins): scatter image (both
+    interpolations), temporal-bilinear and discrete voxels, the
+    polarity split, and the Zhu'19 timestamp images."""
+    import torch
+    import jax.numpy as jnp
+    from v2v_tpu.ops import events as EV
+
+    ref = _ref_event_utils()
+    rng = np.random.RandomState(3)
+    h, w, n = 14, 18, 300
+    xs = (rng.rand(n) * (w - 1)).astype(np.float32)
+    ys = (rng.rand(n) * (h - 1)).astype(np.float32)
+    ts = np.sort(rng.rand(n)).astype(np.float32)
+    ps = rng.choice([-1.0, 1.0], n).astype(np.float32)
+    txs, tys, tts, tps = map(torch.tensor, (xs, ys, ts, ps))
+    nev = jnp.int32(n)
+
+    # scatter image, integer coords, no interpolation
+    want = ref.events_to_image_torch(
+        txs.long(), tys.long(), tps, sensor_size=(h, w),
+        clip_out_of_range=False).numpy()
+    got = EV.events_to_image(jnp.asarray(np.floor(xs)),
+                             jnp.asarray(np.floor(ys)),
+                             jnp.asarray(ps), nev, sensor_size=(h, w))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # bilinear splat with the reference's padding=True layout
+    want = ref.events_to_image_torch(
+        txs, tys, tps, sensor_size=(h, w), clip_out_of_range=False,
+        interpolation="bilinear", padding=True).numpy()
+    got = EV.events_to_image(jnp.asarray(xs), jnp.asarray(ys),
+                             jnp.asarray(ps), nev, sensor_size=(h, w),
+                             interpolation="bilinear", padding=True)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # voxel grids, both temporal modes (reference uses integer coords
+    # on the discrete path)
+    for bilinear in (True, False):
+        want = ref.events_to_voxel_torch(
+            txs.long() if not bilinear else txs,
+            tys.long() if not bilinear else tys, tts, tps, 5,
+            sensor_size=(h, w), temporal_bilinear=bilinear).numpy()
+        got = EV.events_to_voxel_bilinear(
+            jnp.asarray(np.floor(xs) if not bilinear else xs),
+            jnp.asarray(np.floor(ys) if not bilinear else ys),
+            jnp.asarray(ts), jnp.asarray(ps), nev, num_bins=5,
+            sensor_size=(h, w), temporal_bilinear=bilinear)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # polarity split
+    wp, wn = ref.events_to_neg_pos_voxel_torch(
+        txs, tys, tts, tps, 5, sensor_size=(h, w))
+    gp, gn = EV.events_to_neg_pos_voxel(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts),
+        jnp.asarray(ps), nev, num_bins=5, sensor_size=(h, w))
+    np.testing.assert_allclose(gp, wp.numpy(), atol=1e-4)
+    np.testing.assert_allclose(gn, wn.numpy(), atol=1e-4)
+
+    # Zhu'19 timestamp images (reference takes numpy, returns numpy)
+    wp, wn = ref.events_to_timestamp_image(
+        xs, ys, ts.astype(np.float64), ps, sensor_size=(h, w))
+    gp, gn = EV.events_to_timestamp_image(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts),
+        jnp.asarray(ps), nev, sensor_size=(h, w))
+    np.testing.assert_allclose(gp, wp, atol=1e-4)
+    np.testing.assert_allclose(gn, wn, atol=1e-4)
+
+
 def test_testh5_flow_dataset_matches_reference(tmp_path):
     from v2v_tpu.data.h5 import TestH5FlowDataset
 

@@ -91,6 +91,43 @@ def test_warp_losses_match_reference_torch():
         (want_v, got_v)
 
 
+def test_temporal_consistency_matches_reference_torch():
+    """The production TC loss (the one in every reconstruction train
+    config) pinned against the reference utils/loss.py:6-69 directly,
+    per-batch and reduced, on random images/flows."""
+    import os
+    import sys
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    import torch
+    sys.path.insert(0, "/root/reference")
+    try:
+        import importlib
+        ref = importlib.import_module("utils.loss")
+    finally:
+        sys.path.remove("/root/reference")
+
+    rng = np.random.RandomState(1)
+    b, h, w = 3, 20, 28
+    i0 = rng.rand(b, 1, h, w).astype(np.float32)
+    i1 = rng.rand(b, 1, h, w).astype(np.float32)
+    p0 = (rng.rand(b, 1, h, w) * 2 - 0.5).astype(np.float32)
+    p1 = (rng.rand(b, 1, h, w) * 2 - 0.5).astype(np.float32)
+    flow = (rng.randn(b, 2, h, w) * 3).astype(np.float32)
+
+    for reduce_batch in (True, False):
+        want = ref.temporal_consistency_loss(
+            torch.tensor(i0), torch.tensor(i1), torch.tensor(p0),
+            torch.tensor(p1), torch.tensor(flow),
+            reduce_batch=reduce_batch)
+        got = L.temporal_consistency_loss(
+            *(jnp.asarray(x.transpose(0, 2, 3, 1))
+              for x in (i0, i1, p0, p1, flow)),
+            reduce_batch=reduce_batch)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   atol=2e-5)
+
+
 def test_lpips_basic_properties():
     d = LPIPS("alex")
     a = jnp.asarray(np.random.rand(2, 64, 64, 1).astype(np.float32))

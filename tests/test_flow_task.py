@@ -61,6 +61,33 @@ def test_flow2rgb():
     assert flow2rgb_np(np.zeros((4, 4)), np.zeros((4, 4))).max() == 0
 
 
+def test_flow2rgb_matches_reference():
+    """Bit-exact vs the reference flow2rgb_np (extracted by ast — the
+    containing module imports torchvision/skimage, absent here)."""
+    import ast
+    ref_path = "/root/reference/model/train_flow_utils.py"
+    if not os.path.exists(ref_path):
+        import pytest
+        pytest.skip("reference repo not mounted")
+    tree = ast.parse(open(ref_path).read())
+    fn = next(n for n in tree.body if isinstance(n, ast.FunctionDef)
+              and n.name == "flow2rgb_np")
+    ns = {"np": np}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), ref_path,
+                 "exec"), ns)
+    rng = np.random.RandomState(0)
+    for max_mag in (None, 3.0):
+        fx = rng.randn(20, 24) * 4
+        fy = rng.randn(20, 24) * 4
+        want = ns["flow2rgb_np"](fx, fy, max_mag)
+        got = flow2rgb_np(fx, fy, max_mag)
+        np.testing.assert_array_equal(got, want)
+    # degenerate: all-zero flow
+    z = np.zeros((8, 8))
+    np.testing.assert_array_equal(flow2rgb_np(z, z),
+                                  ns["flow2rgb_np"](z, z))
+
+
 def test_flow_harness_end_to_end(tmp_path):
     from v2v_tpu.eval.flow_harness import run_single_test
     h5 = make_hqf_h5(str(tmp_path / "indoor_flying1.h5"), n_frames=7,

@@ -153,6 +153,78 @@ def test_event_kernels_match_reference_module():
     np.testing.assert_allclose(gn, wn, atol=1e-4)
 
 
+def _ref_augmentation():
+    # the reference module imports torchvision.transforms (absent in
+    # this env) but never uses it in the transforms under test
+    for name in ("torchvision", "torchvision.transforms"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.path.insert(0, REFERENCE)
+    try:
+        import importlib
+        return importlib.import_module("utils.data_augmentation")
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+def test_augmentation_matches_reference_seed_for_seed():
+    """Seed-synchronized parity with the reference transforms: the SAME
+    `random.seed` must yield the same crops/flips/rotations (identical
+    draw order — a dataset re-seeds before each tensor of a sequence,
+    so draw-count mismatches would desynchronize frame/voxel/flow)."""
+    import random
+    import torch
+    from v2v_tpu.data import augmentation as A
+
+    ref = _ref_augmentation()
+    rng = np.random.RandomState(0)
+    img = rng.rand(3, 20, 26).astype(np.float32)        # (C,H,W) ref layout
+    flow = (rng.randn(2, 20, 26) * 2).astype(np.float32)
+    ours_img = img.transpose(1, 2, 0)
+    ours_flow = flow.transpose(1, 2, 0)
+
+    # RandomCrop incl. the equal-dimension draw-consumption quirk
+    for size in ((12, 16), (20, 16), (12, 26), (20, 26)):
+        for seed in (0, 7):
+            random.seed(seed)
+            want = ref.RandomCrop(size)(torch.tensor(img)).numpy()
+            marker_ref = random.random()    # stream must stay aligned
+            random.seed(seed)
+            got = A.RandomCrop(size)(ours_img)
+            marker_ours = random.random()
+            np.testing.assert_array_equal(got.transpose(2, 0, 1), want)
+            assert marker_ref == marker_ours, (size, seed)
+
+    # RandomFlip on image and flow (component sign flips)
+    for seed in range(6):
+        random.seed(seed)
+        want = ref.RandomFlip()(torch.tensor(flow), is_flow=True).numpy()
+        random.seed(seed)
+        got = A.RandomFlip()(ours_flow, is_flow=True)
+        np.testing.assert_array_equal(got.transpose(2, 0, 1), want)
+
+    # RandomRotationFlip: affine_grid/grid_sample vs our numpy warp
+    for seed in range(4):
+        random.seed(seed)
+        want = ref.RandomRotationFlip((-20, 20))(torch.tensor(img)).numpy()
+        random.seed(seed)
+        got = A.RandomRotationFlip((-20, 20))(ours_img)
+        np.testing.assert_allclose(got.transpose(2, 0, 1), want,
+                                   atol=2e-5)
+        random.seed(seed)
+        want_f = ref.RandomRotationFlip((-20, 20))(
+            torch.tensor(flow), is_flow=True).numpy()
+        random.seed(seed)
+        got_f = A.RandomRotationFlip((-20, 20))(ours_flow, is_flow=True)
+        np.testing.assert_allclose(got_f.transpose(2, 0, 1), want_f,
+                                   atol=2e-5)
+
+    # CenterCrop (deterministic)
+    want = ref.CenterCrop((12, 16))(torch.tensor(img)).numpy()
+    got = A.CenterCrop((12, 16))(ours_img)
+    np.testing.assert_array_equal(got.transpose(2, 0, 1), want)
+
+
 def test_testh5_flow_dataset_matches_reference(tmp_path):
     from v2v_tpu.data.h5 import TestH5FlowDataset
 

@@ -65,8 +65,15 @@ class RandomCrop:
         th, tw = self.size
         if th > h or tw > w:
             raise ValueError(f"crop {th}x{tw} larger than input {h}x{w}")
-        i = 0 if h == th else random.randint(0, h - th)
-        j = 0 if w == tw else random.randint(0, w - tw)
+        # draw-for-draw identical RNG consumption to the reference
+        # (utils/data_augmentation.py:225-236): no draws only when BOTH
+        # dims match; otherwise two randints (even zero-range ones), so
+        # seed-synced streams stay aligned across implementations
+        if h == th and w == tw:
+            i = j = 0
+        else:
+            i = random.randint(0, h - th)
+            j = random.randint(0, w - tw)
         if self.preserve_mosaicing_pattern:
             i += i % 2
             j += j % 2

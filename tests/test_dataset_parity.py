@@ -225,6 +225,51 @@ def test_augmentation_matches_reference_seed_for_seed():
     np.testing.assert_array_equal(got.transpose(2, 0, 1), want)
 
 
+def test_norms_match_reference():
+    """The voxel normalizations pinned against the reference sources:
+    normalize_batch_voxel / normalize_nobias (model/train_utils.py,
+    extracted by ast — the module imports torchvision) and
+    RobustNorm / LegacyNorm (utils/data_augmentation.py)."""
+    import ast
+    import torch
+    import jax.numpy as jnp
+    from v2v_tpu.ops.normalize import normalize_batch_voxel, normalize_nobias
+    from v2v_tpu.data import augmentation as A
+
+    src = open(os.path.join(REFERENCE, "model/train_utils.py")).read()
+    tree = ast.parse(src)
+    ns = {"torch": torch}
+    for name in ("normalize_batch_voxel", "normalize_nobias"):
+        fn = next(n for n in tree.body if isinstance(n, ast.FunctionDef)
+                  and n.name == name)
+        exec(compile(ast.Module(body=[fn], type_ignores=[]), "ref", "exec"),
+             ns)
+
+    rng = np.random.RandomState(0)
+    vox = (rng.randn(2, 3, 5, 12, 16) * 4).astype(np.float32)  # (B,T,C,H,W)
+    want = ns["normalize_batch_voxel"](torch.tensor(vox)).numpy()
+    got = np.asarray(normalize_batch_voxel(jnp.asarray(vox)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    x = (rng.randn(5, 12, 16) * 3).astype(np.float32)
+    want = ns["normalize_nobias"](torch.tensor(x)).numpy()
+    got = np.asarray(normalize_nobias(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    ref_aug = _ref_augmentation()
+    y = (rng.randn(5, 10, 14) * 2).astype(np.float32)
+    y[rng.rand(*y.shape) < 0.6] = 0.0           # sparse, like voxels
+    np.testing.assert_allclose(
+        A.RobustNorm(0, 95)(y), ref_aug.RobustNorm(0, 95)(
+            torch.tensor(y)).numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        A.LegacyNorm()(y), ref_aug.LegacyNorm()(
+            torch.tensor(y)).numpy(), atol=1e-5)
+    # RobustNorm all-zero early-out
+    z = np.zeros((2, 4, 4), np.float32)
+    np.testing.assert_array_equal(A.RobustNorm()(z), z)
+
+
 def test_testh5_flow_dataset_matches_reference(tmp_path):
     from v2v_tpu.data.h5 import TestH5FlowDataset
 

@@ -270,6 +270,59 @@ def test_norms_match_reference():
     np.testing.assert_array_equal(A.RobustNorm()(z), z)
 
 
+def test_flow_metrics_match_reference():
+    """dense/sparse EPE/1PE/3PE pinned against the reference
+    FlowModelInterface.compute_metrics (ast-extracted — its module
+    imports skimage/torchvision, absent here), including NaN and
+    zero-flow invalidity, the event mask, and empty-mask branches."""
+    import ast
+    from collections import defaultdict
+    import torch
+    from v2v_tpu.eval.flow_harness import flow_metrics
+
+    src = open(os.path.join(REFERENCE, "model/train_flow_utils.py")).read()
+    cls = next(n for n in ast.parse(src).body
+               if isinstance(n, ast.ClassDef)
+               and n.name == "FlowModelInterface")
+    fn = next(n for n in cls.body if isinstance(n, ast.FunctionDef)
+              and n.name == "compute_metrics")
+    sys.path.insert(0, REFERENCE)
+    try:
+        from utils.data import data_sources
+    finally:
+        sys.path.remove(REFERENCE)
+    ns = {"torch": torch, "defaultdict": defaultdict,
+          "data_sources": data_sources}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), "ref", "exec"), ns)
+
+    class _Self:
+        device = "cpu"
+
+    rng = np.random.RandomState(2)
+    t, h, w, bins = 3, 10, 12, 5
+    pred = rng.randn(1, t, 2, h, w).astype(np.float32) * 2
+    gt = rng.randn(1, t, 2, h, w).astype(np.float32) * 2
+    gt[0, 0, :, :3, :3] = np.nan                # invalid: NaN
+    gt[0, 1, :, 4:6, :] = 0.0                   # invalid: both-zero
+    gt[0, 2] = np.nan                           # empty dense mask branch
+    events = (rng.rand(1, t, bins, h, w) < 0.2).astype(np.float32)
+
+    batch = {"sequence_name": [["indoor_flying1"]],
+             "data_source_idx": torch.tensor([2]),       # mvsec
+             "frame": torch.zeros(1, t + 1, 1, h, w),
+             "flow": torch.tensor(gt),
+             "events": torch.tensor(events)}
+    want = ns["compute_metrics"](_Self(), torch.tensor(pred), batch)
+
+    got = flow_metrics(pred.transpose(0, 1, 3, 4, 2),
+                       gt.transpose(0, 1, 3, 4, 2),
+                       events.transpose(0, 1, 3, 4, 2),
+                       "MVSEC/indoor_flying1")
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-5, err_msg=k)
+
+
 def test_testh5_flow_dataset_matches_reference(tmp_path):
     from v2v_tpu.data.h5 import TestH5FlowDataset
 

@@ -323,6 +323,86 @@ def test_flow_metrics_match_reference():
         np.testing.assert_allclose(got[k], want[k], atol=1e-5, err_msg=k)
 
 
+def test_esim_noise_and_webvid_helpers_match_reference():
+    """Seed-matched parity for the ESIM-cache noise injectors (gaussian
+    and integer Poisson*±1, voxel and persistent hot-pixel variants) and
+    the WebVid helpers (log_uniform threshold sampling, BT.601
+    bgr_to_gray) vs the reference modules on shared RNG state."""
+    import importlib
+    import random
+    import torch  # noqa: F401 (reference module imports it)
+    from v2v_tpu.data import esim as E
+    from v2v_tpu.data import webvid as WV
+
+    # the reference webvid module imports ffmpeg-python (absent; the
+    # reference itself asserts the ffmpeg path off in favor of OpenCV)
+    if "ffmpeg" not in sys.modules:
+        sys.modules["ffmpeg"] = types.ModuleType("ffmpeg")
+    sys.path.insert(0, REFERENCE)
+    try:
+        ref_esim = importlib.import_module("data.esim_dataset")
+        ref_wv = importlib.import_module("data.v2v_datasets")
+    finally:
+        sys.path.remove(REFERENCE)
+
+    rng = np.random.RandomState(0)
+    vox_ref = rng.randn(3, 5, 8, 10)              # (T,C,H,W) ref layout
+    vox_ours = vox_ref.transpose(0, 2, 3, 1)      # (T,H,W,C)
+
+    for integer_noise in (False, True):
+        for frac in (1.0, 0.4):
+            np.random.seed(11)
+            want = ref_esim.add_noise_to_voxel(
+                vox_ref.copy(), noise_std=1.5, noise_fraction=frac,
+                integer_noise=integer_noise)
+            np.random.seed(11)
+            got = E.add_noise_to_voxel(
+                vox_ref.copy(), noise_std=1.5, noise_fraction=frac,
+                integer_noise=integer_noise)
+            np.testing.assert_array_equal(got, want)
+
+    # hot pixels: gaussian branch is draw-for-draw identical. The
+    # reference's integer branch is NOT compared: it rebinds the row
+    # coordinates to the Poisson magnitudes (data/esim_dataset.py:20-22,
+    # a shadowing bug on a path no shipped config enables) — ours
+    # scatters at the drawn coordinates (documented divergence).
+    np.random.seed(5)
+    random.seed(5)
+    want = ref_esim.add_hot_pixels_to_voxels(
+        vox_ref.copy(), hot_pixel_std=2.0,
+        max_hot_pixel_fraction=0.5, integer_noise=False)
+    np.random.seed(5)
+    random.seed(5)
+    got = E.add_hot_pixels_to_voxels(
+        vox_ours.copy(), hot_pixel_std=2.0,
+        max_hot_pixel_fraction=0.5, integer_noise=False)
+    np.testing.assert_array_equal(got.transpose(0, 3, 1, 2), want)
+
+    # our integer hot-pixel branch: noise lands at the drawn (y, x)
+    # and is constant across T and C
+    np.random.seed(9)
+    random.seed(9)
+    got = E.add_hot_pixels_to_voxels(
+        vox_ours.copy(), hot_pixel_std=3.0,
+        max_hot_pixel_fraction=0.5, integer_noise=True)
+    noise = got - vox_ours
+    np.testing.assert_allclose(                     # persistent over T, C
+        noise, np.broadcast_to(noise[:1, :, :, :1], noise.shape),
+        atol=1e-12)
+    np.testing.assert_allclose(noise, np.round(noise),
+                               atol=1e-12)          # integer-valued
+
+    for seed in range(4):
+        np.random.seed(seed)
+        want = ref_wv.log_uniform(0.05, 2.0)
+        np.random.seed(seed)
+        assert WV.log_uniform(0.05, 2.0) == want
+
+    imgs = rng.randint(0, 256, (2, 6, 7, 3)).astype(np.float64)
+    np.testing.assert_array_equal(WV.bgr_to_gray(imgs),
+                                  ref_wv.bgr_to_gray(imgs))
+
+
 def test_testh5_flow_dataset_matches_reference(tmp_path):
     from v2v_tpu.data.h5 import TestH5FlowDataset
 

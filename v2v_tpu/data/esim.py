@@ -44,7 +44,16 @@ def add_hot_pixels_to_voxels(voxels: np.ndarray, hot_pixel_std: float = 1.0,
                              max_hot_pixel_fraction: float = 0.001,
                              integer_noise: bool = False) -> np.ndarray:
     """voxels (T, H, W, C); persistent per-pixel noise injected into every
-    frame and bin (data/esim_dataset.py:7-30)."""
+    frame and bin (data/esim_dataset.py:7-30).
+
+    Intentional divergence: the reference's integer_noise branch rebinds
+    the row-coordinate array `y` to the Poisson magnitudes
+    (data/esim_dataset.py:20-22), so its scatter lands at
+    row = |noise value| instead of the drawn hot-pixel rows (and would
+    IndexError when a magnitude >= H). No shipped config enables
+    integer_noise for hot pixels; we scatter at the drawn coordinates.
+    The gaussian branch is draw-for-draw identical
+    (tests/test_dataset_parity.py)."""
     t, h, w, c = voxels.shape
     hot_pixel_fraction = random.uniform(0, max_hot_pixel_fraction)
     num = int(hot_pixel_fraction * h * w)

@@ -403,6 +403,39 @@ def test_esim_noise_and_webvid_helpers_match_reference():
                                   ref_wv.bgr_to_gray(imgs))
 
 
+def test_crop_parameters_match_reference():
+    """CropParameters / CropSize / CropSize3D padding and crop windows
+    pinned against the reference model/model_util.py on odd and even
+    sizes (centered pad with the reference's ceil/floor split)."""
+    import importlib
+    import torch
+    from v2v_tpu.ops import pad as P
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        ref = importlib.import_module("model.model_util")
+    finally:
+        sys.path.remove(REFERENCE)
+
+    rng = np.random.RandomState(0)
+    for h, w, enc in ((180, 240, 3), (37, 53, 3), (33, 47, 2),
+                      (64, 64, 3), (260, 346, 4)):
+        r = ref.CropParameters(w, h, enc)
+        o = P.CropParameters(w, h, enc)
+        x = rng.rand(1, 2, h, w).astype(np.float32)
+        want_pad = r.pad(torch.tensor(x)).numpy()
+        got_pad_hwc = np.asarray(o.pad(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_array_equal(
+            got_pad_hwc.transpose(0, 3, 1, 2), want_pad)
+        want = r.crop(torch.tensor(want_pad)).numpy()
+        got = np.asarray(o.crop(got_pad_hwc))
+        np.testing.assert_array_equal(got.transpose(0, 3, 1, 2), want)
+
+    for size, factor in ((37, 3), (64, 4), (129, 5)):
+        assert (P.optimal_crop_size(size, factor)
+                == ref.optimal_crop_size(size, factor))
+
+
 def test_testh5_flow_dataset_matches_reference(tmp_path):
     from v2v_tpu.data.h5 import TestH5FlowDataset
 

@@ -436,6 +436,57 @@ def test_crop_parameters_match_reference():
                 == ref.optimal_crop_size(size, factor))
 
 
+def test_webvid_pipeline_matches_reference_seed_for_seed(tmp_path):
+    """THE pipeline parity test: our CPU WebVid voxel path vs the
+    reference WebvidDatasetV2 on the same mp4, config, and global
+    np.random state — decode/crop/flip, pause chains, per-video
+    threshold + noise-strength sampling, and the full ESIM emulation
+    must be draw-for-draw identical."""
+    import importlib
+    import torch  # noqa: F401
+    from test_data import _write_video
+    from v2v_tpu.data.webvid import WebvidDataset
+
+    if "ffmpeg" not in sys.modules:
+        sys.modules["ffmpeg"] = types.ModuleType("ffmpeg")
+    sys.path.insert(0, REFERENCE)
+    try:
+        ref_mod = importlib.import_module("data.v2v_datasets")
+    finally:
+        sys.path.remove(REFERENCE)
+
+    root = tmp_path / "webvid"
+    root.mkdir()
+    n = _write_video(str(root / "v0.mp4"), n=60)
+    # the reference's lists always carry stamped thresholds (4 fields)
+    # and its parser requires them
+    (tmp_path / "videos.txt").write_text(f"v0.mp4 {n} 0.652 0.549\n")
+
+    cfg = {"video_list_file": str(tmp_path / "videos.txt"),
+           "data_source_name": "webvid", "sequence_length": 3,
+           "crop_size": 32, "num_bins": 5, "min_resize_scale": 1,
+           "max_resize_scale": 1, "max_samples_per_shot": 4,
+           "threshold_range": [0.05, 2], "base_noise_std_range": [0, 0.1],
+           "hot_pixel_std_range": [0, 10], "video_reader": "opencv"}
+
+    theirs = ref_mod.WebvidDatasetV2(str(root), dict(cfg))
+    ours = WebvidDataset(str(root), dict(cfg, output="voxel"))
+    assert len(ours) == len(theirs)
+
+    for idx in range(min(3, len(ours))):
+        np.random.seed(100 + idx)
+        b = theirs[idx]
+        np.random.seed(100 + idx)
+        a = ours[idx]
+        np.testing.assert_allclose(
+            a["frame"].transpose(0, 3, 1, 2), b["frame"].numpy(),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            a["events"].transpose(0, 3, 1, 2), b["events"].numpy(),
+            atol=1e-4)
+        assert int(a["data_source_idx"]) == int(b["data_source_idx"])
+
+
 def test_testh5_flow_dataset_matches_reference(tmp_path):
     from v2v_tpu.data.h5 import TestH5FlowDataset
 

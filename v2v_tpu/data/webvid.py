@@ -249,7 +249,10 @@ class WebvidDataset:
             # seed -> sample -> restore must be atomic: the dataset uses
             # the global np.random (reference semantics, fork-worker
             # model); with thread workers concurrent items would clobber
-            # the seeded state (tests/test_data.py pins this)
+            # the seeded state (tests/test_data.py pins this).
+            # (The reference's own fixed_seed branch reads `idx` before
+            # assignment — v2v_datasets.py:239, UnboundLocalError — so
+            # no shipped config uses it; `sample_idx` is what was meant.)
             with _GLOBAL_RNG_LOCK:
                 old_state = np.random.get_state()
                 np.random.seed(self.fixed_seed + sample_idx)

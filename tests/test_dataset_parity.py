@@ -473,10 +473,10 @@ def test_webvid_pipeline_matches_reference_seed_for_seed(tmp_path):
     ours = WebvidDataset(str(root), dict(cfg, output="voxel"))
     assert len(ours) == len(theirs)
 
-    for idx in range(min(3, len(ours))):
-        np.random.seed(100 + idx)
+    def compare(theirs, ours, idx, seed):
+        np.random.seed(seed)
         b = theirs[idx]
-        np.random.seed(100 + idx)
+        np.random.seed(seed)
         a = ours[idx]
         np.testing.assert_allclose(
             a["frame"].transpose(0, 3, 1, 2), b["frame"].numpy(),
@@ -485,6 +485,21 @@ def test_webvid_pipeline_matches_reference_seed_for_seed(tmp_path):
             a["events"].transpose(0, 3, 1, 2), b["events"].numpy(),
             atol=1e-4)
         assert int(a["data_source_idx"]) == int(b["data_source_idx"])
+
+    for idx in range(min(3, len(ours))):
+        compare(theirs, ours, idx, 100 + idx)
+
+    # variants: fixed per-video thresholds (the ablation), each degrade
+    # mode, and the flow-task additional-events layout
+    variants = [{"use_fixed_thresholds": True},
+                {"output_additional_evs": True,
+                 "output_additional_frame": True}]
+    variants += [{"video_degrade": m, "degrade_ratio": 1.0}
+                 for m in ("subtitles", "dirtyshotcut", "hdr", "ldr")]
+    for extra in variants:
+        t2 = ref_mod.WebvidDatasetV2(str(root), dict(cfg, **extra))
+        o2 = WebvidDataset(str(root), dict(cfg, output="voxel", **extra))
+        compare(t2, o2, 0, 17)
 
 
 def test_testh5_flow_dataset_matches_reference(tmp_path):

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 import threading
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Tuple
 
 import cv2
 import numpy as np
@@ -179,9 +179,14 @@ class WebvidDataset:
                 for i, img in enumerate(imgs)]
 
     # -- augmentation ---------------------------------------------------
-    def pause_chain(self, total_inputs: int) -> List[int]:
+    def pause_chain(self, total_inputs: int) -> Tuple[List[int], int]:
         """Markov pause process over frame indices
-        (data/v2v_datasets.py:285-301)."""
+        (data/v2v_datasets.py:285-301). Returns (img_idxes, read_count);
+        read_count is the reference's `idx + 1` AFTER the final
+        state update — usually one more frame than img_idxes uses. The
+        extra decoded frame is invisible except to `dirtyshotcut`,
+        whose reordering pulls it into the sequence (parity-pinned in
+        tests/test_dataset_parity.py)."""
         img_idxes, idx, is_pause = [], 0, False
         for _ in range(total_inputs):
             img_idxes.append(idx)
@@ -191,7 +196,7 @@ class WebvidDataset:
                 is_pause = True
             if not is_pause:
                 idx += 1
-        return img_idxes
+        return img_idxes, idx + 1
 
     def degrade_video(self, imgs: List[np.ndarray]) -> List[np.ndarray]:
         """Quality-degradation ablations (data/v2v_datasets.py:413-486)."""
@@ -291,8 +296,7 @@ class WebvidDataset:
 
         additional = self.frames_per_img if self.output_additional_evs else 0
         total_inputs = self.L * self.frames_per_img + 1 + additional
-        img_idxes = self.pause_chain(total_inputs)
-        true_img_cnt = img_idxes[-1] + 1
+        img_idxes, true_img_cnt = self.pause_chain(total_inputs)
         raw = self.read_video(video_path, start_frame,
                               start_frame + true_img_cnt, crop_before,
                               min_i, min_j, flip)

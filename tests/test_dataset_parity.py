@@ -502,6 +502,95 @@ def test_webvid_pipeline_matches_reference_seed_for_seed(tmp_path):
         compare(t2, o2, 0, 17)
 
 
+def test_event_dataset_matches_reference(tmp_path):
+    """TestH5EventDataset (raw NerNet event streams): per-frame (N,5)
+    [x,y,t,p,b] float64 tensors, polarity remap, empty-window
+    placeholder, and frame bookkeeping equal to the reference."""
+    ref_mod = _ref_testh5()
+    from v2v_tpu.data.h5 import TestH5EventDataset
+    h5 = make_hqf_h5(str(tmp_path / "seq.h5"), n_frames=9)
+    cfg = {"sequence_length": 4, "dataset_name": "hqf"}
+    ours = TestH5EventDataset(h5, dict(cfg))
+    theirs = ref_mod.TestH5EventDataset(h5, dict(cfg))
+    assert len(ours) == len(theirs)
+    for idx in range(len(ours)):
+        a, b = ours[idx], theirs[idx]
+        np.testing.assert_array_equal(a["frame"][..., 0],
+                                      b["frame"].numpy()[:, 0])
+        assert len(a["events"]) == len(b["events"])
+        for ea, eb in zip(a["events"], b["events"]):
+            np.testing.assert_array_equal(ea, eb.numpy())
+
+
+def test_esim_h5_dataset_matches_reference(tmp_path):
+    """ESIMH5Dataset: seed-matched crop/flip/pause-chain/noise on the
+    same cached-voxel file (gaussian noise; the integer hot-pixel
+    branch diverges deliberately — see add_hot_pixels_to_voxels)."""
+    import importlib
+    import random
+    import torch  # noqa: F401
+    from test_aux import make_esim_cache
+    from v2v_tpu.data.esim import ESIMH5Dataset
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        ref_mod = importlib.import_module("data.esim_dataset")
+    finally:
+        sys.path.remove(REFERENCE)
+
+    path = make_esim_cache(str(tmp_path / "esim.h5"))
+    cfg = {"sequence_length": 8, "random_crop_size": 32,
+           "noise_std": 0.3, "noise_fraction": 0.5, "hot_pixel_std": 1.0,
+           "max_hot_pixel_fraction": 0.01}
+    ours = ESIMH5Dataset(path, dict(cfg))
+    theirs = ref_mod.ESIMH5Dataset(path, dict(cfg))
+    assert len(ours) == len(theirs)
+    for idx in range(len(ours)):
+        random.seed(31 + idx)
+        np.random.seed(31 + idx)
+        b = theirs[idx]
+        random.seed(31 + idx)
+        np.random.seed(31 + idx)
+        a = ours[idx]
+        for k, ch in (("frame", 1), ("flow", 2), ("events", 5)):
+            np.testing.assert_allclose(
+                a[k].transpose(0, 3, 1, 2), b[k].numpy(), atol=1e-6,
+                err_msg=k)
+        assert int(a["data_source_idx"]) == int(b["data_source_idx"])
+
+
+def test_cache_dataset_matches_reference(tmp_path):
+    """TestH5CacheDataset over a cache built by our converter script:
+    the reference reader and ours must return identical items."""
+    import subprocess
+    ref_mod = _ref_testh5()
+    from subproc_env import cpu_env
+    from v2v_tpu.data.h5 import TestH5CacheDataset
+    src = make_hqf_h5(str(tmp_path / "seq.h5"), n_frames=9)
+    (tmp_path / "list.txt").write_text(src + "\n")
+    out_dir = str(tmp_path / "cache")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "scripts", "testh5_to_voxel_cache.py"),
+         str(tmp_path / "list.txt"), out_dir, "--num-bins", "5"],
+        capture_output=True, text=True, env=cpu_env(), cwd=repo)
+    assert r.returncode == 0, r.stderr[-1500:]
+    cache = os.path.join(out_dir, "seq.h5")
+    cfg = {"sequence_length": 4, "num_bins": 5, "dataset_name": "hqf"}
+    ours = TestH5CacheDataset(cache, dict(cfg))
+    theirs = ref_mod.TestH5CacheDataset(cache, dict(cfg))
+    assert len(ours) == len(theirs)
+    for idx in range(len(ours)):
+        a, b = ours[idx], theirs[idx]
+        # the reference returns the cache's raw (T,H,W) frames and
+        # (T,bins,H,W) voxels; ours adds the channels-last layout
+        np.testing.assert_allclose(a["frame"][..., 0],
+                                   b["frame"].numpy(), atol=1e-6)
+        np.testing.assert_allclose(a["events"].transpose(0, 3, 1, 2),
+                                   b["events"].numpy(), atol=1e-6)
+
+
 def test_testh5_flow_dataset_matches_reference(tmp_path):
     from v2v_tpu.data.h5 import TestH5FlowDataset
 

@@ -139,9 +139,12 @@ class ESIMH5Dataset:
                 out_fl[t_idx] = flow[k]
                 out_v[t_idx] = voxels[k]
                 k += 1
+            # draw the noise field in the reference's (C,H,W) layout so
+            # the flat RNG sequence lands on the same pixels
+            # (draw-for-draw parity, tests/test_dataset_parity.py)
             out_v[t_idx] = add_noise_to_voxel(
-                out_v[t_idx], self.noise_std, self.noise_fraction,
-                self.integer_noise)
+                out_v[t_idx].transpose(2, 0, 1), self.noise_std,
+                self.noise_fraction, self.integer_noise).transpose(1, 2, 0)
         out_v = add_hot_pixels_to_voxels(
             out_v, self.hot_pixel_std, self.max_hot_pixel_fraction,
             self.integer_noise)

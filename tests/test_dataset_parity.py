@@ -591,6 +591,38 @@ def test_cache_dataset_matches_reference(tmp_path):
                                    b["events"].numpy(), atol=1e-6)
 
 
+def test_fps_dataset_matches_reference(tmp_path):
+    """FPS_H5Dataset (events-only h5 sliced at a synthetic FPS):
+    border timestamps, event slicing, and voxels equal."""
+    import h5py
+    ref_mod = _ref_testh5()
+    from v2v_tpu.data.h5 import FPSH5Dataset
+
+    rng = np.random.RandomState(4)
+    n_ev, h, w = 5000, 18, 24
+    path = str(tmp_path / "evbird_seq.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("events/ts", data=np.sort(rng.rand(n_ev)) * 0.8)
+        f.create_dataset("events/xs",
+                         data=rng.randint(0, w, n_ev).astype(np.uint16))
+        f.create_dataset("events/ys",
+                         data=rng.randint(0, h, n_ev).astype(np.uint16))
+        f.create_dataset("events/ps",
+                         data=rng.randint(0, 2, n_ev).astype(np.uint8))
+
+    cfg = {"FPS": 25, "sequence_length": 4, "num_bins": 5,
+           "H": h, "W": w, "dataset_name": "evbird"}
+    ours = FPSH5Dataset(path, dict(cfg))
+    theirs = ref_mod.FPS_H5Dataset(path, dict(cfg))
+    assert len(ours.samples) == len(theirs.samples)
+    np.testing.assert_array_equal(ours.event_idx, theirs.event_idx)
+    for idx in range(len(ours.samples)):
+        a, b = ours[idx], theirs[idx]
+        np.testing.assert_allclose(a["events"].transpose(0, 3, 1, 2),
+                                   b["events"].numpy(), atol=1e-6)
+        assert int(a["data_source_idx"]) == int(b["data_source_idx"])
+
+
 def test_testh5_flow_dataset_matches_reference(tmp_path):
     from v2v_tpu.data.h5 import TestH5FlowDataset
 

@@ -623,6 +623,65 @@ def test_fps_dataset_matches_reference(tmp_path):
         assert int(a["data_source_idx"]) == int(b["data_source_idx"])
 
 
+def test_legacy_dynamic_h5_matches_reference(tmp_path):
+    """Legacy DynamicH5Dataset (Monash format): all three voxel methods
+    (between_frames / k_events / t_seconds), combined and split
+    polarity channels, flow rate->displacement scaling, and the
+    seed-synced transform path, vs the reference data/dataset.py."""
+    import importlib
+    import torch  # noqa: F401
+    from test_legacy_scripts import make_monash_h5
+    from v2v_tpu.data.legacy import DynamicH5Dataset
+
+    _ref_augmentation()                     # installs torchvision stub
+    sys.path.insert(0, REFERENCE)
+    try:
+        ref_mod = importlib.import_module("data.dataset")
+    finally:
+        sys.path.remove(REFERENCE)
+
+    h5 = make_monash_h5(str(tmp_path / "seq.h5"))
+
+    def compare(kwargs, tol=1e-5, last=None):
+        ours = DynamicH5Dataset(h5, **kwargs)
+        theirs = ref_mod.DynamicH5Dataset(h5, **kwargs)
+        assert len(ours) == len(theirs)
+        for idx in range(len(ours) if last is None else last):
+            a = ours.__getitem__(idx, seed=123 + idx)
+            b = theirs.__getitem__(idx, seed=123 + idx)
+            ev_b = b["events"].numpy()
+            np.testing.assert_allclose(
+                np.moveaxis(a["events"], -1, 0), ev_b, atol=tol,
+                err_msg=str(kwargs))
+            assert np.isclose(float(a["dt"]), float(b["dt"]))
+            if "frame" in b:
+                np.testing.assert_allclose(
+                    a["frame"][..., 0], b["frame"].numpy()[0], atol=tol)
+                np.testing.assert_allclose(
+                    np.moveaxis(a["flow"], -1, 0), b["flow"].numpy(),
+                    atol=tol)
+
+    compare({})                                        # between_frames
+    compare({"combined_voxel_channels": False})
+    compare({"voxel_method": {"method": "t_seconds", "t": 0.2,
+                              "sliding_window_t": 0.1}})
+    compare({"transforms": {"RandomCrop": {"size": 16}}})
+    compare({"temporal_bilinear": True})
+
+    # k_events with a sliding window: the reference's own trailing
+    # windows index past num_events and raise at __getitem__
+    # (dataset.py:261-272,297-304: length=num_events/(k-w) but
+    # idx1=idx0+k); we clamp via h5 slicing instead. Compare the
+    # windows the reference can serve, pin its overflow behavior.
+    kw = {"voxel_method": {"method": "k_events", "k": 120,
+                           "sliding_window_w": 60}}
+    compare(kw, last=18)                   # (1200-120)/60 = 18 valid
+    import pytest
+    with pytest.raises(Exception, match="out of bounds"):
+        ref_mod.DynamicH5Dataset(h5, **kw).__getitem__(19, seed=0)
+    DynamicH5Dataset(h5, **kw).__getitem__(19, seed=0)   # ours clamps
+
+
 def test_testh5_flow_dataset_matches_reference(tmp_path):
     from v2v_tpu.data.h5 import TestH5FlowDataset
 

@@ -682,6 +682,52 @@ def test_legacy_dynamic_h5_matches_reference(tmp_path):
     DynamicH5Dataset(h5, **kw).__getitem__(19, seed=0)   # ours clamps
 
 
+def test_legacy_sequence_dataset_matches_reference(tmp_path):
+    """Legacy SequenceDataset: pause chains, one shared transform seed
+    across all items of a sequence, zeroed events/flow during pauses —
+    vs the reference (noise/hot-pixel kwargs excluded: the reference
+    draws those from torch's RNG, ours from numpy — statistically
+    matched, not seed-matchable)."""
+    import importlib
+    import random
+    import torch  # noqa: F401
+    from test_legacy_scripts import make_monash_h5
+    from v2v_tpu.data.legacy import SequenceDataset
+
+    _ref_augmentation()
+    sys.path.insert(0, REFERENCE)
+    try:
+        ref_mod = importlib.import_module("data.dataset")
+    finally:
+        sys.path.remove(REFERENCE)
+
+    h5 = make_monash_h5(str(tmp_path / "seq.h5"))
+    kwargs = dict(sequence_length=3, dataset_type="DynamicH5Dataset",
+                  proba_pause_when_running=0.4,
+                  proba_pause_when_paused=0.8,
+                  dataset_kwargs={"transforms": {"RandomCrop": {"size": 16}}})
+    ours = SequenceDataset(h5, **kwargs)
+    theirs = ref_mod.SequenceDataset(h5, **kwargs)
+    assert len(ours) == len(theirs)
+    for idx in range(len(ours)):
+        random.seed(77 + idx)
+        np.random.seed(77 + idx)
+        b = theirs[idx]
+        random.seed(77 + idx)
+        np.random.seed(77 + idx)
+        a = ours[idx]
+        assert len(a) == len(b)
+        for ia, ib in zip(a, b):
+            np.testing.assert_allclose(
+                np.moveaxis(ia["events"], -1, 0), ib["events"].numpy(),
+                atol=1e-5)
+            np.testing.assert_allclose(
+                ia["frame"][..., 0], ib["frame"].numpy()[0], atol=1e-5)
+            np.testing.assert_allclose(
+                np.moveaxis(ia["flow"], -1, 0), ib["flow"].numpy(),
+                atol=1e-5)
+
+
 def test_testh5_flow_dataset_matches_reference(tmp_path):
     from v2v_tpu.data.h5 import TestH5FlowDataset
 

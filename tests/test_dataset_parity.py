@@ -728,6 +728,43 @@ def test_legacy_sequence_dataset_matches_reference(tmp_path):
                 atol=1e-5)
 
 
+def test_legacy_memmap_dataset_matches_reference(tmp_path):
+    """Legacy MemMapDataset (RPG memmap dirs) vs the reference."""
+    import importlib
+    import torch  # noqa: F401
+    from v2v_tpu.data.legacy import MemMapDataset
+
+    _ref_augmentation()
+    sys.path.insert(0, REFERENCE)
+    try:
+        ref_mod = importlib.import_module("data.dataset")
+    finally:
+        sys.path.remove(REFERENCE)
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "memmap"
+    root.mkdir()
+    n_ev, n_img, h, w = 600, 5, 16, 16
+    np.save(root / "t.npy", np.sort(rng.rand(n_ev)))
+    np.save(root / "xy.npy", rng.randint(0, 16, (n_ev, 2)))
+    np.save(root / "p.npy", rng.randint(0, 2, n_ev))
+    np.save(root / "images.npy", rng.randint(0, 255, (n_img, h, w, 1),
+                                             dtype=np.uint8))
+    np.save(root / "timestamps.npy", np.linspace(0, 1, n_img))
+
+    ours = MemMapDataset(str(root))
+    theirs = ref_mod.MemMapDataset(str(root))
+    assert len(ours) == len(theirs)
+    for idx in range(len(ours)):
+        a = ours.__getitem__(idx, seed=5)
+        b = theirs.__getitem__(idx, seed=5)
+        np.testing.assert_allclose(np.moveaxis(a["events"], -1, 0),
+                                   b["events"].numpy(), atol=1e-5)
+        np.testing.assert_allclose(a["frame"][..., 0],
+                                   b["frame"].numpy()[0], atol=1e-5)
+        assert np.isclose(float(a["dt"]), float(b["dt"]))
+
+
 def test_testh5_flow_dataset_matches_reference(tmp_path):
     from v2v_tpu.data.h5 import TestH5FlowDataset
 

@@ -22,9 +22,13 @@ def main(root: str, list_file: str, out_file: str,
         import torch
         from transformers import (AutoProcessor,
                                   Qwen2_5_VLForConditionalGeneration)
+        # decodes the video messages into frame tensors for the
+        # processor (reference scripts/qwen_vl_annotate.py:7,57)
+        from qwen_vl_utils import process_vision_info
     except ImportError as e:
         raise SystemExit(
-            f"qwen annotation needs transformers with Qwen2.5-VL: {e}")
+            f"qwen annotation needs transformers with Qwen2.5-VL "
+            f"and qwen-vl-utils: {e}")
     model_name = os.environ.get("QWEN_VL_MODEL",
                                 "Qwen/Qwen2.5-VL-7B-Instruct")
     model = Qwen2_5_VLForConditionalGeneration.from_pretrained(
@@ -40,7 +44,9 @@ def main(root: str, list_file: str, out_file: str,
             {"type": "text", "text": PROMPT}]}]
         text = processor.apply_chat_template(
             messages, tokenize=False, add_generation_prompt=True)
-        inputs = processor(text=[text], videos=None, return_tensors="pt")
+        _, video_inputs = process_vision_info(messages)
+        inputs = processor(text=[text], videos=video_inputs,
+                           return_tensors="pt", padding=True)
         out = model.generate(**inputs.to(model.device), max_new_tokens=64)
         reply = processor.batch_decode(out, skip_special_tokens=True)[-1]
         try:

@@ -22,3 +22,47 @@ else:
     import jax  # noqa: E402
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def ref_import(modname: str):
+    """Import a module from the mounted reference repo.
+
+    Handles the sys.path dance and temporarily stubs the reference's
+    optional imports that this environment lacks (torchvision, ffmpeg,
+    event_voxel_builder — all unused by the code under test). Stubs are
+    installed only when the real package is absent and are removed
+    again after the import, so nothing leaks into later tests (and on a
+    machine that HAS torchvision/ffmpeg the real packages are used).
+    """
+    import importlib
+    import importlib.util
+    import sys
+    import types
+
+    reference = "/root/reference"
+    installed = []
+    for name in ("torchvision", "torchvision.transforms", "ffmpeg",
+                 "event_voxel_builder"):
+        if name in sys.modules:
+            continue
+        try:
+            if importlib.util.find_spec(name) is not None:
+                continue
+        except (ImportError, ModuleNotFoundError):
+            pass
+        stub = types.ModuleType(name)
+        if name == "event_voxel_builder":
+            stub.EventVoxelBuilder = object
+        sys.modules[name] = stub
+        installed.append(name)
+        if "." in name:                 # attach child to parent stub
+            parent, child = name.rsplit(".", 1)
+            if parent in sys.modules:
+                setattr(sys.modules[parent], child, stub)
+    sys.path.insert(0, reference)
+    try:
+        return importlib.import_module(modname)
+    finally:
+        sys.path.remove(reference)
+        for name in installed:
+            sys.modules.pop(name, None)

@@ -346,7 +346,10 @@ def test_qwen_vl_annotate_filtering(tmp_path, monkeypatch):
             _FakeProcessor.last_video = messages[0]["content"][0]["video"]
             return "prompt"
 
-        def __call__(self, text, videos, return_tensors):
+        def __call__(self, text, videos, return_tensors, padding=False):
+            # the processor must actually receive the decoded video
+            # (passing videos=None would make the model judge blind)
+            assert videos == [f"frames:{_FakeProcessor.last_video}"]
             return _FakeInputs()
 
         def batch_decode(self, out, **kw):
@@ -365,6 +368,10 @@ def test_qwen_vl_annotate_filtering(tmp_path, monkeypatch):
     fake.Qwen2_5_VLForConditionalGeneration = types.SimpleNamespace(
         from_pretrained=lambda name, **kw: _FakeModel())
     monkeypatch.setitem(sys.modules, "transformers", fake)
+    fake_vl = types.ModuleType("qwen_vl_utils")
+    fake_vl.process_vision_info = lambda messages: (
+        None, [f"frames:{messages[0]['content'][0]['video']}"])
+    monkeypatch.setitem(sys.modules, "qwen_vl_utils", fake_vl)
 
     lst = tmp_path / "videos.txt"
     lst.write_text("good.mp4 100\nblurry.mp4 90\n"

@@ -6,11 +6,11 @@ DATASET level (the voxelizer-level twins are pinned separately in
 tests/test_voxel.py)."""
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
 
+from conftest import ref_import
 from test_data import make_hqf_h5
 
 REFERENCE = "/root/reference"
@@ -20,18 +20,7 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
 
 
 def _ref_testh5():
-    # the reference imports event_voxel_builder (a compiled pip package
-    # it never calls — SURVEY.md §2.10); stub it
-    if "event_voxel_builder" not in sys.modules:
-        stub = types.ModuleType("event_voxel_builder")
-        stub.EventVoxelBuilder = object
-        sys.modules["event_voxel_builder"] = stub
-    sys.path.insert(0, REFERENCE)
-    try:
-        import importlib
-        return importlib.import_module("data.testh5")
-    finally:
-        sys.path.remove(REFERENCE)
+    return ref_import("data.testh5")
 
 
 CONFIG_SWEEP = [
@@ -75,12 +64,7 @@ def test_testh5_dataset_matches_reference(tmp_path, cfg):
 
 
 def _ref_event_utils():
-    sys.path.insert(0, REFERENCE)
-    try:
-        import importlib
-        return importlib.import_module("utils.event_utils")
-    finally:
-        sys.path.remove(REFERENCE)
+    return ref_import("utils.event_utils")
 
 
 def test_event_kernels_match_reference_module():
@@ -154,17 +138,7 @@ def test_event_kernels_match_reference_module():
 
 
 def _ref_augmentation():
-    # the reference module imports torchvision.transforms (absent in
-    # this env) but never uses it in the transforms under test
-    for name in ("torchvision", "torchvision.transforms"):
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-    sys.path.insert(0, REFERENCE)
-    try:
-        import importlib
-        return importlib.import_module("utils.data_augmentation")
-    finally:
-        sys.path.remove(REFERENCE)
+    return ref_import("utils.data_augmentation")
 
 
 def test_augmentation_matches_reference_seed_for_seed():
@@ -286,11 +260,7 @@ def test_flow_metrics_match_reference():
                and n.name == "FlowModelInterface")
     fn = next(n for n in cls.body if isinstance(n, ast.FunctionDef)
               and n.name == "compute_metrics")
-    sys.path.insert(0, REFERENCE)
-    try:
-        from utils.data import data_sources
-    finally:
-        sys.path.remove(REFERENCE)
+    data_sources = ref_import("utils.data").data_sources
     ns = {"torch": torch, "defaultdict": defaultdict,
           "data_sources": data_sources}
     exec(compile(ast.Module(body=[fn], type_ignores=[]), "ref", "exec"), ns)
@@ -328,22 +298,13 @@ def test_esim_noise_and_webvid_helpers_match_reference():
     and integer Poisson*±1, voxel and persistent hot-pixel variants) and
     the WebVid helpers (log_uniform threshold sampling, BT.601
     bgr_to_gray) vs the reference modules on shared RNG state."""
-    import importlib
     import random
     import torch  # noqa: F401 (reference module imports it)
     from v2v_tpu.data import esim as E
     from v2v_tpu.data import webvid as WV
 
-    # the reference webvid module imports ffmpeg-python (absent; the
-    # reference itself asserts the ffmpeg path off in favor of OpenCV)
-    if "ffmpeg" not in sys.modules:
-        sys.modules["ffmpeg"] = types.ModuleType("ffmpeg")
-    sys.path.insert(0, REFERENCE)
-    try:
-        ref_esim = importlib.import_module("data.esim_dataset")
-        ref_wv = importlib.import_module("data.v2v_datasets")
-    finally:
-        sys.path.remove(REFERENCE)
+    ref_esim = ref_import("data.esim_dataset")
+    ref_wv = ref_import("data.v2v_datasets")
 
     rng = np.random.RandomState(0)
     vox_ref = rng.randn(3, 5, 8, 10)              # (T,C,H,W) ref layout
@@ -407,15 +368,10 @@ def test_crop_parameters_match_reference():
     """CropParameters / CropSize / CropSize3D padding and crop windows
     pinned against the reference model/model_util.py on odd and even
     sizes (centered pad with the reference's ceil/floor split)."""
-    import importlib
     import torch
     from v2v_tpu.ops import pad as P
 
-    sys.path.insert(0, REFERENCE)
-    try:
-        ref = importlib.import_module("model.model_util")
-    finally:
-        sys.path.remove(REFERENCE)
+    ref = ref_import("model.model_util")
 
     rng = np.random.RandomState(0)
     for h, w, enc in ((180, 240, 3), (37, 53, 3), (33, 47, 2),
@@ -442,18 +398,11 @@ def test_webvid_pipeline_matches_reference_seed_for_seed(tmp_path):
     np.random state — decode/crop/flip, pause chains, per-video
     threshold + noise-strength sampling, and the full ESIM emulation
     must be draw-for-draw identical."""
-    import importlib
     import torch  # noqa: F401
     from test_data import _write_video
     from v2v_tpu.data.webvid import WebvidDataset
 
-    if "ffmpeg" not in sys.modules:
-        sys.modules["ffmpeg"] = types.ModuleType("ffmpeg")
-    sys.path.insert(0, REFERENCE)
-    try:
-        ref_mod = importlib.import_module("data.v2v_datasets")
-    finally:
-        sys.path.remove(REFERENCE)
+    ref_mod = ref_import("data.v2v_datasets")
 
     root = tmp_path / "webvid"
     root.mkdir()
@@ -526,17 +475,12 @@ def test_esim_h5_dataset_matches_reference(tmp_path):
     """ESIMH5Dataset: seed-matched crop/flip/pause-chain/noise on the
     same cached-voxel file (gaussian noise; the integer hot-pixel
     branch diverges deliberately — see add_hot_pixels_to_voxels)."""
-    import importlib
     import random
     import torch  # noqa: F401
     from test_aux import make_esim_cache
     from v2v_tpu.data.esim import ESIMH5Dataset
 
-    sys.path.insert(0, REFERENCE)
-    try:
-        ref_mod = importlib.import_module("data.esim_dataset")
-    finally:
-        sys.path.remove(REFERENCE)
+    ref_mod = ref_import("data.esim_dataset")
 
     path = make_esim_cache(str(tmp_path / "esim.h5"))
     cfg = {"sequence_length": 8, "random_crop_size": 32,
@@ -628,17 +572,11 @@ def test_legacy_dynamic_h5_matches_reference(tmp_path):
     (between_frames / k_events / t_seconds), combined and split
     polarity channels, flow rate->displacement scaling, and the
     seed-synced transform path, vs the reference data/dataset.py."""
-    import importlib
     import torch  # noqa: F401
     from test_legacy_scripts import make_monash_h5
     from v2v_tpu.data.legacy import DynamicH5Dataset
 
-    _ref_augmentation()                     # installs torchvision stub
-    sys.path.insert(0, REFERENCE)
-    try:
-        ref_mod = importlib.import_module("data.dataset")
-    finally:
-        sys.path.remove(REFERENCE)
+    ref_mod = ref_import("data.dataset")
 
     h5 = make_monash_h5(str(tmp_path / "seq.h5"))
 
@@ -688,18 +626,12 @@ def test_legacy_sequence_dataset_matches_reference(tmp_path):
     vs the reference (noise/hot-pixel kwargs excluded: the reference
     draws those from torch's RNG, ours from numpy — statistically
     matched, not seed-matchable)."""
-    import importlib
     import random
     import torch  # noqa: F401
     from test_legacy_scripts import make_monash_h5
     from v2v_tpu.data.legacy import SequenceDataset
 
-    _ref_augmentation()
-    sys.path.insert(0, REFERENCE)
-    try:
-        ref_mod = importlib.import_module("data.dataset")
-    finally:
-        sys.path.remove(REFERENCE)
+    ref_mod = ref_import("data.dataset")
 
     h5 = make_monash_h5(str(tmp_path / "seq.h5"))
     kwargs = dict(sequence_length=3, dataset_type="DynamicH5Dataset",
@@ -730,16 +662,10 @@ def test_legacy_sequence_dataset_matches_reference(tmp_path):
 
 def test_legacy_memmap_dataset_matches_reference(tmp_path):
     """Legacy MemMapDataset (RPG memmap dirs) vs the reference."""
-    import importlib
     import torch  # noqa: F401
     from v2v_tpu.data.legacy import MemMapDataset
 
-    _ref_augmentation()
-    sys.path.insert(0, REFERENCE)
-    try:
-        ref_mod = importlib.import_module("data.dataset")
-    finally:
-        sys.path.remove(REFERENCE)
+    ref_mod = ref_import("data.dataset")
 
     rng = np.random.RandomState(0)
     root = tmp_path / "memmap"

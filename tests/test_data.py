@@ -54,6 +54,10 @@ def test_testh5_dataset(hqf_file):
     assert np.abs(item["events"]).sum() > 0
     assert item["sequence_name"] == "seq_a"
     assert int(item["data_source_idx"]) == 4   # hqf
+    # no flow key (reference drops its per-item zeros flow,
+    # testh5.py:166-173): its absence routes the flow harness to RAFT
+    # pseudo-GT at test time
+    assert "flow" not in item
 
 
 def test_testh5_warmup_windows(hqf_file):

@@ -48,6 +48,10 @@ def test_testh5_dataset_matches_reference(tmp_path, cfg):
     for idx in range(len(ours)):
         a = ours[idx]
         b = theirs[idx]
+        # same key set — notably NO "flow" (the reference drops its
+        # per-item zeros flow; absence routes the flow harness to
+        # pseudo-GT)
+        assert set(a.keys()) == set(b.keys())
         # reference: frame (T,1,H,W) torch, events (T,bins,H,W) torch;
         # ours: channels-last numpy
         np.testing.assert_array_equal(

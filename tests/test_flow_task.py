@@ -89,26 +89,70 @@ def test_flow2rgb_matches_reference():
 
 
 def test_flow_harness_end_to_end(tmp_path):
+    """Both flow-test data routes (reference test_flow.py +
+    train_flow_utils.py:305-326): a flow h5 scores against its stored
+    GT; a reconstruction h5 (no flow key) scores against RAFT pseudo-GT
+    predicted from the T+1 GT frames."""
     from v2v_tpu.eval.flow_harness import run_single_test
+    from v2v_tpu.training.raft import seed_random_teacher
     h5 = make_hqf_h5(str(tmp_path / "indoor_flying1.h5"), n_frames=7,
                      with_flow=True)
     (tmp_path / "flow_test.txt").write_text(h5 + "\n")
+    recon = make_hqf_h5(str(tmp_path / "outdoor_day1.h5"), n_frames=7)
+    (tmp_path / "recon_test.txt").write_text(recon + "\n")
+    seed_random_teacher("raft_small", 2)
     cfg = {
         "experiment_name": "flow_smoke", "task": "flow",
         "test_output_dir": "results/flow_smoke", "save_npy": True,
-        "module": FLOW_CFG,
-        "test_stage": {"test_num_workers": 1, "test": [{
-            "data_file": str(tmp_path / "flow_test.txt"),
-            "class_name": "data.testh5.TestH5FlowDataset",
-            "dataset_name": "mvsec", "num_bins": 5, "sequence_length": 5}]},
+        "module": dict(FLOW_CFG,
+                       loss={"l1_weight": 1.0,
+                             "optical_flow_source": "raft_small",
+                             "raft_num_flow_updates": 2}),
+        "test_stage": {"test_num_workers": 1, "test": [
+            {"data_file": str(tmp_path / "flow_test.txt"),
+             "class_name": "data.testh5.TestH5FlowDataset",
+             "dataset_name": "mvsec", "num_bins": 5,
+             "sequence_length": 5},
+            {"data_file": str(tmp_path / "recon_test.txt"),
+             "class_name": "data.testh5.TestH5Dataset",
+             "dataset_name": "mvsec", "num_bins": 5,
+             "sequence_length": 5, "output_additional_frame": True,
+             "image_range": 1}]},
     }
     result = run_single_test(None, cfg, root=str(tmp_path))
     assert "MVSEC/indoor_flying1/dense_EPE" in result
+    # pseudo-GT route: metrics exist and are not the all-invalid 0.0
+    # that a zeros target would produce
+    assert np.isfinite(result["MVSEC/outdoor_day1/dense_EPE"])
+    assert result["MVSEC/outdoor_day1/dense_EPE"] > 0
     dump = os.path.join(str(tmp_path), "results/flow_smoke/MVSEC/"
                         "indoor_flying1")
     files = os.listdir(dump)
     assert any(f.endswith("_flow.png") for f in files)
     assert any(f.endswith(".npy") for f in files)
+
+
+def test_prepare_flow_gating():
+    """Reference gating (train_flow_utils.py:307-326): stored GT is
+    used for source 'gt' or at TEST time; otherwise the source fills —
+    OVERWRITING stored flow at train/val."""
+    iface = FlowModelInterface(dict(FLOW_CFG, loss={
+        "l1_weight": 1.0, "optical_flow_source": "zeros"}))
+    frames = jnp.ones((1, 4, 8, 8, 1))
+    stored = jnp.full((1, 3, 8, 8, 2), 7.0)
+    # test + stored flow -> GT kept
+    out = iface.prepare_flow({"frame": frames, "flow": stored}, test=True)
+    assert float(jnp.abs(out["flow"]).max()) == 7.0
+    # train/val -> source overwrites stored flow
+    out = iface.prepare_flow({"frame": frames, "flow": stored})
+    assert float(jnp.abs(out["flow"]).max()) == 0.0
+    assert out["flow"].shape == (1, 3, 8, 8, 2)
+    # gt source without flow -> loud failure
+    iface_gt = FlowModelInterface(dict(FLOW_CFG, loss={
+        "l1_weight": 1.0, "optical_flow_source": "gt"}))
+    import pytest
+    with pytest.raises(KeyError):
+        iface_gt.prepare_flow({"frame": frames})
 
 
 def test_eraft_hoisted_fnet_matches_pairwise_calls():

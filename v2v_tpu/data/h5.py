@@ -105,10 +105,14 @@ class TestH5Dataset:
             all_frames = all_frames / 255.0
         all_events = np.stack(voxels).transpose(0, 2, 3, 1).astype(np.float32)
         t = len(frame_idxs)
+        # NO "flow" key: the reference builds a per-item zeros flow but
+        # drops it from the returned dict (testh5.py:122,166-173); its
+        # absence is what routes the flow harness to RAFT pseudo-GT at
+        # test time (train_flow_utils.py:307-316). TestH5FlowDataset
+        # overrides with real GT flow.
         return {
             "frame": all_frames.astype(np.float32),
             "events": all_events,                         # (T,H,W,bins)
-            "flow": np.zeros((t, self.H, self.W, 2), np.float32),
             "data_source_idx": np.int64(DATA_SOURCES.index(
                 self.dataset_name.lower())),
             "sequence_name": self.sequence_name,

@@ -43,6 +43,17 @@ def run_test(iface: FlowModelInterface, params, configs: Dict[str, Any],
     output_img_idx = 0
     all_metrics: Dict[str, list] = defaultdict(list)
 
+    # Datasets without GT flow (TestH5Dataset over the reconstruction
+    # benchmarks) score against RAFT pseudo-GT predicted from the T+1
+    # GT frames, exactly like the reference at test time
+    # (train_flow_utils.py:307-321). Jitted (the teacher is ~1k ops —
+    # eager dispatch would dominate); retraces once per frame shape.
+    import jax
+
+    @jax.jit
+    def _pseudo_flow(frames):
+        return iface.prepare_flow({"frame": frames}, test=True)["flow"]
+
     for batch_idx, batch in enumerate(loader):
         if max_batches is not None and batch_idx >= max_batches:
             break
@@ -64,7 +75,12 @@ def run_test(iface: FlowModelInterface, params, configs: Dict[str, Any],
         t_out = pred.shape[1]
         # align events/gt with flow outputs (eraft drops the first voxel)
         ev = np.asarray(batch["events"])[:, -t_out:]
-        gt = np.asarray(batch["flow"])[:, -t_out:]
+        if "flow" in batch:
+            gt_full = np.asarray(batch["flow"])
+        else:
+            gt_full = np.asarray(
+                _pseudo_flow(jnp.asarray(batch["frame"])))
+        gt = gt_full[:, -t_out:]
         # accumulate every computed metric (the CSV writer later selects
         # the registry columns; test_metrics.txt keeps everything —
         # matches test_flow.py, which never filters here)

@@ -40,23 +40,28 @@ class FlowModelInterface(ModelInterface):
         params = self.model.init(key, x, x, state)
         return params, state
 
-    def prepare_flow(self, batch: Dict[str, Array]) -> Dict[str, Array]:
-        """Flow-task GT: when the batch has no flow, predict pseudo-GT
-        from the (T+1) frames — flow[t] = teacher(frame[t], frame[t+1]),
-        T flows (reference train_flow_utils.py:304-324). Unlike the
+    def prepare_flow(self, batch: Dict[str, Array],
+                     test: bool = False) -> Dict[str, Array]:
+        """Flow-task GT (reference train_flow_utils.py:305-326): stored
+        GT is used when the source is 'gt', or at TEST time when the
+        batch carries flow (MVSEC); otherwise a RAFT source predicts
+        pseudo-GT from the (T+1) frames — flow[t] =
+        teacher(frame[t], frame[t+1]), T flows — OVERWRITING any stored
+        flow (the reference always recomputes at train/val). Unlike the
         reconstruction task this does NOT gate on the TC-loss weight:
         flow training always needs a target."""
-        if "flow" in batch:
-            return batch
         src = self.loss_cfg.optical_flow_source
+        if src == "gt" or (test and "flow" in batch):
+            if "flow" not in batch:
+                raise KeyError(
+                    "optical_flow_source=gt but batch has no 'flow'")
+            return batch
         frames = batch["frame"]                     # (B, T+1, H, W, C)
         b, tp1, h, w, _ = frames.shape
         batch = dict(batch)
         if src == "zeros":
             batch["flow"] = jnp.zeros((b, tp1 - 1, h, w, 2), frames.dtype)
             return batch
-        if src == "gt":
-            raise KeyError("optical_flow_source=gt but batch has no 'flow'")
         from .raft import raft_flow  # lazy; needs converted weights
         batch["flow"] = raft_flow(
             src, frames, 1,

@@ -428,13 +428,22 @@ class ModelInterface:
         aux["pred_var"] = pred.var()
         return total, aux
 
-    def prepare_flow(self, batch: Dict[str, Array]) -> Dict[str, Array]:
+    def prepare_flow(self, batch: Dict[str, Array],
+                     test: bool = False) -> Dict[str, Array]:
         """Fill batch['flow'] per optical_flow_source
-        (train_utils.py:285-305). 'gt' asserts presence; 'zeros' makes a
-        zero field; RAFT teachers require converted weights and are wired
-        in training/raft.py."""
+        (train_utils.py:281-305): only when the TC loss is on and not at
+        test/val (the reference never fills there — calc_loss drops the
+        flow losses instead). 'gt' asserts presence; 'zeros' makes a
+        zero field; RAFT teachers OVERWRITE any stored flow (the
+        reference recomputes unconditionally, e.g. over ESIMH5Dataset's
+        stored flow in the esim ablation)."""
         cfg = self.loss_cfg
-        if cfg.temporal_consistency_weight == 0 or "flow" in batch:
+        if cfg.temporal_consistency_weight == 0 or test:
+            return batch
+        if cfg.optical_flow_source == "gt":
+            if "flow" not in batch:
+                raise KeyError(
+                    "optical_flow_source=gt but batch has no 'flow'")
             return batch
         if cfg.optical_flow_source == "zeros":
             frames = batch["frame"]
@@ -442,8 +451,6 @@ class ModelInterface:
             batch = dict(batch)
             batch["flow"] = jnp.zeros((b, t, h, w, 2), frames.dtype)
             return batch
-        if cfg.optical_flow_source == "gt":
-            raise KeyError("optical_flow_source=gt but batch has no 'flow'")
         from .raft import raft_flow  # lazy; needs converted weights
         batch = dict(batch)
         batch["flow"] = raft_flow(cfg.optical_flow_source, batch["frame"],

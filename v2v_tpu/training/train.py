@@ -267,6 +267,12 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                                      extra_frame=extra_frame,
                                      extra_evs=extra_evs)
         eval_step = make_eval_step(iface)
+        # jitted pseudo-GT fill for flow-task validation (a RAFT source
+        # recomputes the target at val even when the h5 stores flow —
+        # reference train_flow_utils.py:305-326; eager teacher dispatch
+        # would dominate val wall time)
+        flow_fill = jax.jit(
+            lambda frames: iface.prepare_flow({"frame": frames})["flow"])
 
         epochs_before = sum(epochs_of_stages[:stage_idx])
         rel_epoch = cur_epoch - epochs_before
@@ -358,11 +364,13 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                         pred, _ = eval_step(params, events, state)
                         vb = {k: jnp.asarray(v) for k, v in vbatch.items()
                               if isinstance(v, np.ndarray)}
-                        if task == "flow":
-                            # flow val needs a target even without GT
-                            # flow in the h5 (pseudo-GT from frames,
-                            # reference train_flow_utils.py:304-324)
-                            vb = iface.prepare_flow(vb)
+                        if task == "flow" and \
+                                iface.loss_cfg.optical_flow_source != "gt":
+                            # flow val targets: RAFT/zeros sources fill
+                            # (and overwrite) pseudo-GT from the frames
+                            # (reference train_flow_utils.py:305-326)
+                            vb = dict(vb)
+                            vb["flow"] = flow_fill(vb["frame"])
                         vloss, vaux = iface.calc_loss(
                             pred, vb, remove_flow_loss=True)
                         val_losses.append(float(vloss))
@@ -377,9 +385,12 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
                         if vidx == 0:
                             from .preview import make_preview
                             try:
+                                pv = dict(vbatch)
+                                if "flow" in vb:   # filled pseudo-GT
+                                    pv["flow"] = np.asarray(vb["flow"])
                                 writer.add_video_grid(
                                     "val/preview",
-                                    make_preview(vbatch, np.asarray(pred)),
+                                    make_preview(pv, np.asarray(pred)),
                                     global_epoch)
                             except Exception:
                                 pass

@@ -71,6 +71,25 @@ def test_batchnorm_no_update_without_mutable():
     assert np.allclose(np.asarray(y2), np.asarray(y2)[0, 0, 0])
 
 
+def test_degenerate_shapes_raise_like_torch():
+    """torch refuses to train-normalize with one value per channel
+    (BatchNorm2d) / one spatial element (InstanceNorm2d); a silent
+    biased running-var update would let a shape bug train quietly."""
+    from v2v_tpu.models.submodules import TorchInstanceNorm
+
+    bn, variables = _init_bn(2)
+    with pytest.raises(ValueError, match="value"):
+        bn.apply(variables, jnp.ones((1, 1, 1, 2)),
+                 use_running_average=False, mutable=["batch_stats"])
+
+    inorm = TorchInstanceNorm(2)
+    x = jnp.ones((2, 1, 1, 2))
+    ivars = inorm.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="spatial"):
+        inorm.apply(ivars, x, use_running_average=False,
+                    mutable=["batch_stats"])
+
+
 def _bn_leaves(tree):
     return np.concatenate([np.ravel(np.asarray(x))
                            for x in jax.tree.leaves(tree)])

@@ -148,7 +148,14 @@ class TorchInstanceNorm(nn.Module):
         if not self.is_initializing() and \
                 self.is_mutable_collection("batch_stats"):
             n = x.shape[1] * x.shape[2]
-            unbiased = var * (n / max(n - 1, 1))
+            # torch raises 'Expected more than 1 spatial element when
+            # training'; fail loudly instead of storing a biased var
+            if n <= 1:
+                raise ValueError(
+                    f"TorchInstanceNorm: {n} spatial element(s) per "
+                    f"instance (input shape {x.shape}) — torch "
+                    f"InstanceNorm2d rejects this in training mode")
+            unbiased = var * (n / (n - 1))
             m = self.momentum
             ra_mean.value = ((1 - m) * ra_mean.value.astype(jnp.float32)
                              + m * mean.mean(axis=(0, 1, 2)))

@@ -136,19 +136,30 @@ def test_train_resume_and_eval(workspace):
 
 def test_flow_task_train_end_to_end(workspace):
     """Flow-task training through the full driver: WebVid video mode ->
-    device synthesis with the extra GT frame -> pseudo-GT flow (zeros
-    teacher here) -> EVFlowNet scan -> optimizer -> checkpoint. The
-    reference path is train.py + FlowModelInterface
-    (train_flow_utils.py:304-430)."""
+    device synthesis with the extra GT frame -> RAFT pseudo-GT flow
+    (random-init teacher) -> EVFlowNet scan -> optimizer -> validation
+    (pseudo-GT fill over BOTH val variants: a no-flow TestH5Dataset and
+    a flow h5, the RAFT source overwriting its stored GT —
+    train_flow_utils.py:305-326) -> checkpoint. The reference path is
+    train.py + FlowModelInterface (train_flow_utils.py:304-430)."""
+    from v2v_tpu.training.raft import seed_random_teacher
     from v2v_tpu.training.train import main as train_main
     from v2v_tpu.training.checkpoint import all_ckpt_paths
 
     tmp_path, webvid_root_file, video_list, h5_list = workspace
+    from test_data import make_hqf_h5
+    flow_h5 = make_hqf_h5(str(tmp_path / "flowseq.h5"), n_frames=7,
+                          with_flow=True)
+    flow_list = tmp_path / "flow_val.txt"
+    flow_list.write_text(flow_h5 + "\n")
+    seed_random_teacher("raft_small", 2)
+
     cfg = make_config(tmp_path, webvid_root_file, video_list, h5_list)
     cfg["experiment_name"] = "smoke_flow"
     cfg["task"] = "flow"
     cfg["module"] = {
-        "loss": {"l1_weight": 1.0, "optical_flow_source": "zeros"},
+        "loss": {"l1_weight": 1.0, "optical_flow_source": "raft_small",
+                 "raft_num_flow_updates": 2},
         "normalize_voxels": False,
         "forward_type": "evflow",
         "model": {"target": "model.model.EVFlowNet",
@@ -161,7 +172,16 @@ def test_flow_task_train_end_to_end(workspace):
     train_block = cfg["train_stages"][0]["dataset"]["train"][0]
     train_block["output_additional_frame"] = True
     cfg["train_stages"][0]["max_epochs"] = 1
-    cfg["train_stages"][0]["dataset"]["val"] = []
+    cfg["train_stages"][0]["dataset"]["val"] = [
+        {"data_file": h5_list,
+         "class_name": "data.testh5.TestH5Dataset",
+         "dataset_name": "hqf", "num_bins": 5, "sequence_length": 4,
+         "output_additional_frame": True, "image_range": 1},
+        {"data_file": str(flow_list),
+         "class_name": "data.testh5.TestH5FlowDataset",
+         "dataset_name": "mvsec", "num_bins": 5, "sequence_length": 4,
+         "output_additional_frame": True},
+    ]
 
     root = str(tmp_path)
     os.makedirs(os.path.join(root, "ckpt_paths"), exist_ok=True)
@@ -169,6 +189,13 @@ def test_flow_task_train_end_to_end(workspace):
     assert out["epoch"] == 1
     paths = all_ckpt_paths("smoke_flow", root)
     assert len(paths) == 1
+    # val ran over both variants: val_loss.txt written with finite loss
+    val_txt = os.path.join(root, "tensorboard_logs", "smoke_flow",
+                           "val_loss.txt")
+    body = open(val_txt).read().strip()
+    assert body
+    import numpy as np
+    assert np.isfinite(float(body.splitlines()[-1].split()[-1]))
 
 
 def test_fixed_threshold_ablation_train(workspace):

@@ -172,6 +172,42 @@ def test_convlayer_bn_model_trains_and_updates_stats():
     assert not np.allclose(bs0, bs1)
 
 
+def test_optimizer_masks_batch_stats():
+    """BN buffers are masked OUT of the optimizer (optax.masked in
+    training/optim.py): the opt_state must carry no Adam moments for
+    batch_stats leaves, and AdamW's decoupled weight decay must never
+    touch them (reference semantics: torch buffers are invisible to the
+    optimizer, train.py:238-239)."""
+    import jax.tree_util as jtu
+    from v2v_tpu.training.interface import ModelInterface
+    from v2v_tpu.training.optim import AdamW
+
+    cfg = {
+        "loss": {"l1_weight": 1.0},
+        "model": {"target": "model.model.E2VIDRecurrent",
+                  "params": {"unet_kwargs": {
+                      "num_bins": 5, "base_num_channels": 4,
+                      "num_encoders": 2, "num_residual_blocks": 1,
+                      "norm": "BN", "kernel_size": 3}}},
+    }
+    iface = ModelInterface(cfg)
+    params, _ = iface.init(jax.random.PRNGKey(0), 1, 16, 16)
+    assert "batch_stats" in params
+    opt = AdamW(lr=1e-3, weight_decay=0.01).make()
+    opt_state = opt.init(params)
+    flat = jtu.tree_flatten_with_path(opt_state)[0]
+    bad = [jtu.keystr(p) for p, _ in flat if "batch_stats" in jtu.keystr(p)]
+    assert not bad, f"opt_state carries moments for buffers: {bad[:4]}"
+    # decoupled weight decay: zero grads -> zero updates on buffers,
+    # nonzero (decay) updates on real parameters
+    zgrads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = opt.update(zgrads, opt_state, params)
+    assert all(float(jnp.abs(u).max()) == 0.0
+               for u in jax.tree.leaves(updates["batch_stats"]))
+    assert any(float(jnp.abs(u).max()) > 0.0
+               for u in jax.tree.leaves(updates["params"]))
+
+
 def test_hyper_atom_generator_bn_updates_in_train():
     from v2v_tpu.models.hyper import DynamicAtomGeneration
 

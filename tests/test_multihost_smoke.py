@@ -1,17 +1,25 @@
 """Real multi-host smoke: TWO jax.distributed processes on CPU, each
-with 4 virtual devices, assembling a global batch from host-local rows
-via shard_batch -> make_array_from_process_local_data and syncing a
-gradient across the 8-device data mesh (reference DistributedSampler +
-DDP semantics, train.py:41-58)."""
+with 4 virtual devices, running the REAL train loop (train_main -> fused
+make_train_step with on-device simulation) over the 8-device data mesh:
+per-host loader shards, make_array_from_process_local_data batch
+assembly, XLA gradient sync, process-0-only checkpoint writes, and a
+cross-host resume from that checkpoint (reference DistributedSampler +
+DDP + rank-0 I/O semantics, train.py:41-58,144-159)."""
+import json
 import os
 import socket
 import subprocess
 import sys
 
+import pytest
+
+from test_data import _write_video
+
 _WORKER = r"""
-import os, sys
+import os, sys, json
 pid = int(sys.argv[1])
 port = sys.argv[2]
+root = sys.argv[3]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
@@ -19,55 +27,134 @@ jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=f"localhost:{{port}}",
                            num_processes=2, process_id=pid)
 import numpy as np
-import jax.numpy as jnp
 sys.path.insert(0, {repo!r})
-from v2v_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 
 assert jax.process_count() == 2
 assert jax.device_count() == 8 and len(jax.local_devices()) == 4
-mesh = make_mesh(8)
-local = {{"x": np.full((4, 3), pid, np.float32)}}   # this host's shard
-gb = shard_batch(local, mesh)
-assert gb["x"].shape == (8, 3), gb["x"].shape
-total = float(jax.jit(lambda b: b["x"].sum())(gb))
-assert total == 12.0, total                         # 4*3*0 + 4*3*1
 
-params = replicate({{"w": jnp.ones((3,))}}, mesh)
+from v2v_tpu.training.train import main as train_main, _host_local
 
-@jax.jit
-def step(p, b):
-    g = jax.grad(lambda w: ((b["x"] @ w) ** 2).mean())(p["w"])
-    return {{"w": p["w"] - 0.1 * g}}
+cfg = json.load(open(os.path.join(root, "mh_cfg.json")))
+out = train_main(cfg, max_batches_per_epoch=1, root=root)
 
-p2 = step(params, gb)
-shards = [np.asarray(sh.data) for sh in p2["w"].addressable_shards]
-np.testing.assert_array_equal(shards[0], shards[-1])
-print("MULTIHOST_OK", pid, float(shards[0][0]))
+# cross-host gradient sync: params stay replicated across the global
+# mesh (every shard equal), and both processes must print the SAME
+# fingerprint (the parent compares them)
+leaves = jax.tree.leaves(out["params"])
+leaf = leaves[0]
+if hasattr(leaf, "addressable_shards"):
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    np.testing.assert_array_equal(shards[0], shards[-1])
+fp = float(sum(np.abs(_host_local(l)).sum() for l in leaves))
+print(f"MULTIHOST_TRAIN_OK {{pid}} epoch={{out['epoch']}} fp={{fp:.10e}}",
+      flush=True)
 """
 
 
-def test_two_process_data_parallel(tmp_path):
+@pytest.fixture
+def mh_workspace(tmp_path):
+    root = tmp_path / "webvid"
+    root.mkdir()
+    n = _write_video(str(root / "v0.mp4"), n=40)
+    (tmp_path / "videos.txt").write_text(f"v0.mp4 {n}\n")
+    (tmp_path / "webvid_root.txt").write_text(str(root) + "\n")
+    os.makedirs(tmp_path / "ckpt_paths", exist_ok=True)
+    return tmp_path
+
+
+def _config(tmp_path, max_epochs):
+    return {
+        "experiment_name": "mh_smoke",
+        "check_val_every_n_epoch": 1,
+        "module": {
+            "loss": {"l1_weight": 1.0},
+            "normalize_voxels": False,
+            "model": {
+                "target": "model.model.E2VIDRecurrent",
+                "params": {"unet_kwargs": {
+                    "num_bins": 5, "skip_type": "sum",
+                    "recurrent_block_type": "convlstm", "num_encoders": 3,
+                    "base_num_channels": 4, "num_residual_blocks": 1,
+                    "use_upsample_conv": True, "final_activation": "",
+                    "norm": "none"}},
+            },
+        },
+        "train_stages": [{
+            "stage_name": "stage1", "max_epochs": max_epochs,
+            "optimizer": {"target": "torch.optim.Adam",
+                          "params": {"lr": 0.001}},
+            "lr_scheduler": {"target": "torch.optim.lr_scheduler.StepLR",
+                             "params": {"step_size": 50, "gamma": 1.0}},
+            "dataset": {
+                # per-host batch 4 over 4 local devices -> global batch 8
+                "train_batch_size": 4, "num_workers": 1,
+                "train": [{
+                    "data_file": str(tmp_path / "webvid_root.txt"),
+                    "class_name": "data.v2v_datasets.WebvidDatasetV2",
+                    "video_list_file": str(tmp_path / "videos.txt"),
+                    "data_source_name": "webvid", "sequence_length": 3,
+                    "crop_size": 32, "num_bins": 5, "min_resize_scale": 1,
+                    "max_resize_scale": 1, "max_samples_per_shot": 8,
+                    "threshold_range": [0.05, 2],
+                    "base_noise_std_range": [0, 0.1],
+                    "hot_pixel_std_range": [0, 10]}],
+            },
+        }],
+    }
+
+
+def _run_both(tmp_path, script):
     with socket.socket() as s:       # free port for the coordinator
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
-    script = tmp_path / "worker.py"
-    script.write_text(_WORKER.format(
-        repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
     from subproc_env import cpu_env
     env = cpu_env("XLA_FLAGS", "JAX_PLATFORMS")
     del env["JAX_PLATFORMS"]   # the worker script pins cpu itself
     procs = [subprocess.Popen(
-        [sys.executable, str(script), str(pid), str(port)],
+        [sys.executable, str(script), str(pid), str(port), str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         cwd=str(tmp_path)) for pid in (0, 1)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=900)
         outs.append(out.decode())
+    fps = []
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
-        assert f"MULTIHOST_OK {pid}" in out, out[-2000:]
-    # identical synced params on both hosts
-    w0 = outs[0].split("MULTIHOST_OK 0")[1].split()[0]
-    w1 = outs[1].split("MULTIHOST_OK 1")[1].split()[0]
-    assert w0 == w1, (w0, w1)
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+        mark = f"MULTIHOST_TRAIN_OK {pid} "
+        assert mark in out, out[-4000:]
+        fps.append(out.split(mark)[1].split()[:2])
+    return fps, outs
+
+
+def test_two_process_real_train_step_and_resume(mh_workspace):
+    tmp_path = mh_workspace
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.format(
+        repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+    # ---- phase 1: fresh 2-epoch training across two processes ---------
+    (tmp_path / "mh_cfg.json").write_text(json.dumps(_config(tmp_path, 2)))
+    fps, _ = _run_both(tmp_path, script)
+    assert fps[0] == fps[1], fps            # same epoch, same params
+    assert fps[0][0] == "epoch=2"
+
+    # process-0-only checkpoint writes: one ckpt_paths line per val
+    # epoch; had BOTH processes written, the appends would double up
+    ckpt_txt = tmp_path / "ckpt_paths" / "mh_smoke.txt"
+    lines = ckpt_txt.read_text().splitlines()
+    assert len(lines) == 2, lines
+    val_txt = (tmp_path / "tensorboard_logs" / "mh_smoke" / "val_loss.txt")
+    assert len(val_txt.read_text().splitlines()) == 2
+
+    # ---- phase 2: both processes resume from process 0's checkpoint ---
+    (tmp_path / "mh_cfg.json").write_text(json.dumps(_config(tmp_path, 3)))
+    fps2, outs2 = _run_both(tmp_path, script)
+    assert fps2[0] == fps2[1], fps2
+    assert fps2[0][0] == "epoch=3"
+    assert fps2[0] != fps[0]                # training actually continued
+    for out in outs2:
+        assert "Resumed from" in out        # both hosts loaded the ckpt
+    lines = ckpt_txt.read_text().splitlines()
+    assert len(lines) == 3, lines
+    assert lines[-1].endswith("epoch_0002.msgpack")

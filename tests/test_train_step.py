@@ -273,6 +273,13 @@ def test_train_step_bf16_compute():
     assert all(p.dtype == jnp.float32
                for p in jax.tree.leaves(params)
                if jnp.issubdtype(p.dtype, jnp.floating))
+    # buffers (batch_stats) are masked out of the optimizer: no opt_state
+    # leaf may live under a batch_stats path (see test_batchnorm.py's
+    # dedicated mask test for the BN-model case)
+    import jax.tree_util as jtu
+    assert not [jtu.keystr(p)
+                for p, _ in jtu.tree_flatten_with_path(opt_state)[0]
+                if "batch_stats" in jtu.keystr(p)]
 
 
 def test_train_step_eitr_with_dropout():

@@ -136,13 +136,20 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
         iface = ModelInterface(configs["module"])
 
     # mesh size = largest divisor of the global batch that fits the
-    # available devices (replaces torchrun's fixed world size)
+    # available devices (replaces torchrun's fixed world size). With
+    # multiple processes the mesh MUST span every process's devices —
+    # make_array_from_process_local_data needs each host to own
+    # addressable shards — so all devices join and the per-host batch is
+    # rounded to the local device count instead.
     first_bs = configs["train_stages"][0]["dataset"]["train_batch_size"]
     n_avail = len(jax.devices())
-    n_dev = max(d for d in range(1, n_avail + 1) if first_bs % d == 0)
-    mesh = make_mesh(n_dev)
     process_index = jax.process_index()
     process_count = jax.process_count()
+    if process_count > 1:
+        n_dev = n_avail
+    else:
+        n_dev = max(d for d in range(1, n_avail + 1) if first_bs % d == 0)
+    mesh = make_mesh(n_dev)
 
     checkpoint_path = last_ckpt_path(experiment_name, root)
 
@@ -178,9 +185,13 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
         train_ds = make_concat_multi_dataset(train_cfgs)
         val_ds = make_concat_multi_dataset(ds_cfg.get("val", []))
         batch_size = ds_cfg["train_batch_size"]
-        # round the global batch down to a multiple of the mesh size
-        if batch_size % n_dev:
-            batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
+        # round the (per-host) batch down to a multiple of the per-host
+        # device count (multi-host: the loader yields this host's rows;
+        # the global batch is batch_size * process_count)
+        local_dev = max(1, n_dev // process_count)
+        if batch_size % local_dev:
+            batch_size = max(local_dev,
+                             (batch_size // local_dev) * local_dev)
         # `worker_type: process` opts into forked workers (the torch-
         # DataLoader model) for decode-heavy video datasets; measured
         # +11% on the synthetic smoke (mp4 seek dominates there). Default

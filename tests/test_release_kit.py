@@ -1,0 +1,92 @@
+"""Acceptance-kit dry run: v2v-validate-release on synthetic assets.
+
+Builds an assets directory (registry-named HQF h5 sequences + a real
+torch .pth for the e2vid++ family when the reference repo is mounted),
+runs the kit as a subprocess (the shipped console command path), and
+checks the full chain: list generation -> strict conversion -> e2vid
+test driver -> within-1% comparison against the reference table."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+from test_data import make_hqf_h5
+
+REFERENCE = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _make_assets(tmp_path, with_ckpt):
+    assets = tmp_path / "assets"
+    hqf = assets / "h5" / "HQF"
+    hqf.mkdir(parents=True)
+    # registry sequence names so the table comparison has rows;
+    # 81 frames = exactly one 80-frame benchmark window each
+    make_hqf_h5(str(hqf / "boxes.h5"), n_frames=81, seed=0)
+    make_hqf_h5(str(hqf / "desk.h5"), n_frames=81, seed=1)
+    if with_ckpt:
+        import importlib
+        import torch
+        sys.path.insert(0, REFERENCE)
+        try:
+            cls = getattr(importlib.import_module("model.model"), "FlowNet")
+        finally:
+            sys.path.remove(REFERENCE)
+        # exact kwargs of configs/test_e2vid++_original.yaml
+        kwargs = dict(num_bins=5, skip_type="sum",
+                      recurrent_block_type="convlstm", num_encoders=3,
+                      base_num_channels=32, num_residual_blocks=2,
+                      use_upsample_conv=True, norm="none",
+                      num_output_channels=3)
+        tmodel = cls(dict(kwargs))
+        ckpt_dir = assets / "checkpoints"
+        ckpt_dir.mkdir()
+        torch.save({"state_dict": tmodel.state_dict()},
+                   str(ckpt_dir / "e2vid++.pth"))
+    return assets
+
+
+def _run_kit(tmp_path, assets, extra):
+    from subproc_env import cpu_env
+    out = tmp_path / "out"
+    cmd = [sys.executable, "-m", "v2v_tpu.eval.release",
+           "--assets", str(assets), "--out", str(out),
+           "--families", "e2vid++", "--datasets", "hqf",
+           "--max-batches", "2", "--configs",
+           os.path.join(REPO, "configs")] + extra
+    proc = subprocess.run(cmd, capture_output=True, timeout=1200,
+                          env=cpu_env(), cwd=REPO)
+    return proc, out
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference repo not mounted")
+def test_release_kit_with_converted_checkpoint(tmp_path):
+    assets = _make_assets(tmp_path, with_ckpt=True)
+    proc, out = _run_kit(tmp_path, assets, [])
+    text = proc.stdout.decode() + proc.stderr.decode()
+    # random weights cannot be within 1% of the published rows -> rc 2,
+    # but the whole chain must have run
+    assert proc.returncode == 2, text[-4000:]
+    assert "converted" in text and "acceptance vs 'e2vid+'" in text, \
+        text[-4000:]
+    assert "HQF/boxes/MSE" in text and "FAIL" in text
+    assert "release validation summary" in text
+    assert (out / "checkpoints" / "release_e2vid++.msgpack").exists()
+    assert (out / "tensorboard_logs" / "release_e2vid++"
+            / "test_metrics.txt").exists()
+    assert (out / "lists" / "hqf_test.txt").read_text().count(".h5") == 2
+
+
+def test_release_kit_random_init_dry_run(tmp_path):
+    """Without checkpoints the kit still runs the drivers at random init
+    (--allow-random-init) and exits 0 with a metric summary."""
+    assets = _make_assets(tmp_path, with_ckpt=False)
+    proc, out = _run_kit(tmp_path, assets, ["--allow-random-init"])
+    text = proc.stdout.decode() + proc.stderr.decode()
+    assert proc.returncode == 0, text[-4000:]
+    assert "RANDOM INIT dry run" in text
+    assert "release validation summary" in text
+    assert (out / "tensorboard_logs" / "release_e2vid++"
+            / "test_metrics.txt").exists()

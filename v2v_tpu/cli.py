@@ -49,3 +49,12 @@ def test_flow(argv=None) -> None:
     argv = sys.argv if argv is None else argv
     config_path = argv[1] if len(argv) > 1 else "configs/template.yaml"
     main(load_yaml(config_path), test_all_pths=len(argv) > 2)
+
+
+def validate_release(argv=None) -> None:
+    """Acceptance kit: `v2v-validate-release --assets DIR` converts the
+    released .pth checkpoints, runs both test drivers over every
+    available benchmark h5 set, and prints the within-1% deltas against
+    the reference regression table (v2v_tpu/eval/release.py)."""
+    from v2v_tpu.eval.release import main
+    main(None if argv is None else argv[1:])

@@ -1,0 +1,284 @@
+"""Release acceptance kit: ONE command from an assets directory to the
+within-1% table (BASELINE.md acceptance; reference
+utils/metric_references.py:208-236, test_e2vid.py:100-108).
+
+    v2v-validate-release --assets DIR [--out DIR] [--families f1,f2]
+        [--datasets hqf,ijrr] [--max-batches N] [--tol 0.01]
+        [--allow-random-init]
+
+Assets layout (any subset; missing pieces are reported and skipped):
+
+    DIR/checkpoints/{e2vid++,etnet,hyper,eraft,evflow,nernet}.pth
+        released torch checkpoints (reference ckpt_paths/*.txt targets)
+    DIR/h5/{HQF,IJRR,MVSEC,EVAID}/{sequence}.h5
+        unified HQF-format benchmarks (scripts/{mvsec,ijrr,...}_to_h5.py)
+    DIR/weights/{vgg16,alexnet,squeezenet,raft_small,raft_large}.pth
+        LPIPS trunks + RAFT teacher (exported by scripts/validate_raft.py
+        / torchvision state_dicts) — becomes $V2V_WEIGHTS_DIR
+
+For each family the kit converts the .pth with the framework converter
+(strict schema match), runs the full test driver (e2vid or flow task)
+over every available dataset, and prints the per-sequence deltas against
+the reference regression table (metric_references.json) for the families
+that have published rows (e2vid++ -> "e2vid+", etnet -> "ETNet").
+Exit code: 0 = every compared row within tol, 2 = acceptance failures,
+1 = nothing could run.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+from typing import Any, Dict, List, Optional, Tuple
+
+# family -> (config file, task, reference-table method name or None)
+FAMILIES: Dict[str, Tuple[str, str, Optional[str]]] = {
+    "e2vid++": ("test_e2vid++_original.yaml", "e2vid", "e2vid+"),
+    "etnet": ("test_etnet_original.yaml", "e2vid", "ETNet"),
+    "hyper": ("test_hypere2vid_original.yaml", "e2vid", None),
+    "nernet": ("test_nernet_original.yaml", "e2vid", None),
+    "eraft": ("test_eraft_original.yaml", "flow", None),
+    "evflow": ("test_evflow_original.yaml", "flow", None),
+}
+DATASETS = ("hqf", "ijrr", "mvsec", "evaid")
+
+
+def _find_configs_dir(explicit: Optional[str]) -> str:
+    if explicit:
+        return explicit
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for cand in (os.path.join(os.getcwd(), "configs"),
+                 os.path.join(here, "configs")):
+        if os.path.isfile(os.path.join(cand, "test_e2vid++_original.yaml")):
+            return cand
+    raise SystemExit("cannot locate configs/; pass --configs DIR")
+
+
+def write_lists(assets: str, out: str,
+                datasets: List[str]) -> Dict[str, str]:
+    """One sidecar list per available dataset dir, listing every .h5 in
+    DIR/h5/{DS}/ (registry sequences score against the reference table;
+    extra files still run — scripts/generate_test_lists.py is the
+    registry-strict variant)."""
+    lists = {}
+    os.makedirs(os.path.join(out, "lists"), exist_ok=True)
+    for ds in datasets:
+        ds_dir = os.path.join(assets, "h5", ds.upper())
+        files = sorted(glob.glob(os.path.join(ds_dir, "*.h5")))
+        if not files:
+            print(f"[assets] no h5 under {ds_dir} - skipping {ds}")
+            continue
+        path = os.path.join(out, "lists", f"{ds}_test.txt")
+        with open(path, "w") as f:
+            f.write("\n".join(files) + "\n")
+        lists[ds] = path
+        print(f"[assets] {ds}: {len(files)} sequences")
+    return lists
+
+
+def _restrict_tests(config: Dict[str, Any],
+                    lists: Dict[str, str]) -> bool:
+    """Point the config's test entries at the generated lists; drop
+    datasets without assets. Returns False if nothing remains."""
+    kept = []
+    for entry in config["test_stage"]["test"]:
+        ds = entry.get("dataset_name", "").lower()
+        if ds in lists:
+            entry = dict(entry, data_file=lists[ds])
+            kept.append(entry)
+    config["test_stage"]["test"] = kept
+    return bool(kept)
+
+
+def _init_template(task: str, config: Dict[str, Any]):
+    """Init a params template for the converter (shapes are
+    resolution-independent; num_bins comes from the test entries)."""
+    import jax
+    import jax.numpy as jnp
+    bins = config["test_stage"]["test"][0].get("num_bins", 5)
+    if task == "flow":
+        from ..training.flow_interface import FlowModelInterface
+        iface = FlowModelInterface(config["module"])
+        params, _ = iface.init(jax.random.PRNGKey(0), 1, 64, 64, bins)
+        return params
+    from ..training.interface import ModelInterface
+    iface = ModelInterface(config["module"])
+    if iface.is_nernet:
+        state = iface.model.init_state(1, 64, 64)
+        dummy = jnp.zeros((1024, 5), jnp.float32)
+        return iface.model.init(jax.random.PRNGKey(0), dummy,
+                                jnp.int32(0), state)
+    params, _ = iface.init(jax.random.PRNGKey(0), 1, 64, 64, bins)
+    return params
+
+
+def convert_family(family: str, task: str, config: Dict[str, Any],
+                   pth: str, out_msgpack: str, strict: bool = True) -> str:
+    from ..models.convert import convert_checkpoint
+    from ..training.checkpoint import save_checkpoint
+    template = _init_template(task, config)
+    params = convert_checkpoint(pth, template, strict=strict)
+    save_checkpoint(out_msgpack, params, None, epoch=-1,
+                    extra={"converted_from": os.path.abspath(pth)})
+    print(f"[{family}] converted {pth} -> {out_msgpack}")
+    return out_msgpack
+
+
+def compare_to_reference(family: str, final: Dict[str, float],
+                         method: str, tol: float) -> Tuple[int, int]:
+    """Per-(sequence, metric) relative deltas vs the published table;
+    returns (n_within, n_compared)."""
+    from .references import METRIC_REFERENCES
+    table = METRIC_REFERENCES[method]
+    n_ok = n_tot = 0
+    print(f"\n[{family}] acceptance vs '{method}' reference rows "
+          f"(tol {tol:.1%}):")
+    print(f"  {'sequence/metric':<40} {'ours':>10} {'ref':>10} {'delta':>8}")
+    for seq, metrics in table.items():
+        for metric, ref_val in metrics.items():
+            ours = final.get(f"{seq}/{metric}")
+            if ours is None:
+                continue
+            n_tot += 1
+            rel = abs(ours - ref_val) / max(abs(ref_val), 1e-12)
+            ok = rel <= tol
+            n_ok += ok
+            flag = "ok" if ok else "FAIL"
+            print(f"  {seq + '/' + metric:<40} {ours:>10.4f} "
+                  f"{ref_val:>10.4f} {rel:>7.2%} {flag}")
+    print(f"[{family}] {n_ok}/{n_tot} rows within {tol:.1%}")
+    return n_ok, n_tot
+
+
+def validate_release(assets: str, out: str = "release_validation",
+                     families: Optional[List[str]] = None,
+                     datasets: Optional[List[str]] = None,
+                     configs_dir: Optional[str] = None,
+                     max_batches: Optional[int] = None, tol: float = 0.01,
+                     allow_random_init: bool = False,
+                     strict_convert: bool = True) -> int:
+    from ..config import load_yaml
+
+    os.makedirs(out, exist_ok=True)
+    families = families or list(FAMILIES)
+    datasets = datasets or list(DATASETS)
+
+    wdir = os.path.join(assets, "weights")
+    if os.path.isdir(wdir):
+        os.environ["V2V_WEIGHTS_DIR"] = wdir
+        print(f"[assets] V2V_WEIGHTS_DIR={wdir} "
+              f"({len(os.listdir(wdir))} files)")
+    else:
+        print("[assets] no weights/ dir: LPIPS/RAFT fall back to "
+              "random features (metrics will NOT match the table)")
+
+    lists = write_lists(assets, out, datasets)
+    if not lists:
+        print("no datasets available; nothing to run")
+        return 1
+
+    failures = 0
+    ran = 0
+    summary: List[str] = []
+    configs_dir = _find_configs_dir(configs_dir)
+    for family in families:
+        cfg_name, task, method = FAMILIES[family]
+        config = load_yaml(os.path.join(configs_dir, cfg_name))
+        config["experiment_name"] = f"release_{family}"
+        config["test_output_dir"] = os.path.join("results",
+                                                 f"release_{family}")
+        if not _restrict_tests(config, lists):
+            summary.append(f"{family}: skipped (no datasets)")
+            continue
+
+        pth = os.path.join(assets, "checkpoints", f"{family}.pth")
+        ckpt = None
+        if os.path.isfile(pth):
+            ckpt = os.path.join(out, "checkpoints",
+                                f"release_{family}.msgpack")
+            os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+            try:
+                convert_family(family, task, config, pth, ckpt,
+                               strict=strict_convert)
+            except Exception as e:
+                print(f"[{family}] CONVERSION FAILED: {e}")
+                summary.append(f"{family}: conversion failed")
+                failures += 1
+                continue
+        elif not allow_random_init:
+            print(f"[{family}] no checkpoint at {pth} - skipping "
+                  f"(--allow-random-init to run anyway)")
+            summary.append(f"{family}: skipped (no checkpoint)")
+            continue
+        else:
+            print(f"[{family}] no checkpoint: RANDOM INIT dry run")
+
+        if task == "flow":
+            from .flow_harness import run_single_test
+        else:
+            from .harness import run_single_test
+        print(f"\n[{family}] running {task} test driver over "
+              f"{sorted(lists)} ...")
+        final = run_single_test(ckpt, config, max_batches=max_batches,
+                                root=out)
+        ran += 1
+
+        if method is not None and ckpt is not None:
+            n_ok, n_tot = compare_to_reference(family, final, method, tol)
+            summary.append(f"{family}: {n_ok}/{n_tot} rows within "
+                           f"{tol:.1%}")
+            if n_ok < n_tot:
+                failures += 1
+        else:
+            means: Dict[str, List[float]] = {}
+            for k, v in final.items():
+                metric = k.rsplit("/", 1)[-1]
+                means.setdefault(metric, []).append(v)
+            line = " ".join(
+                f"{m}={sum(v) / len(v):.4f}" for m, v in sorted(means.items()))
+            summary.append(f"{family}: {line}" if line
+                           else f"{family}: no metrics")
+
+    print("\n=== release validation summary ===")
+    for line in summary:
+        print(" ", line)
+    if not ran:
+        return 1
+    return 2 if failures else 0
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    ap = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--assets", required=True,
+                    help="assets dir (checkpoints/ h5/ weights/)")
+    ap.add_argument("--out", default="release_validation")
+    ap.add_argument("--families",
+                    help=f"comma list of {sorted(FAMILIES)}")
+    ap.add_argument("--datasets", help=f"comma list of {DATASETS}")
+    ap.add_argument("--configs", help="configs dir (default: autodetect)")
+    ap.add_argument("--max-batches", type=int,
+                    help="cap batches per family (smoke runs)")
+    ap.add_argument("--tol", type=float, default=0.01)
+    ap.add_argument("--allow-random-init", action="store_true",
+                    help="run families without a .pth at random init")
+    ap.add_argument("--no-strict-convert", action="store_true",
+                    help="tolerate missing keys (load_state_dict("
+                         "strict=False) analog)")
+    args = ap.parse_args(argv)
+
+    rc = validate_release(
+        assets=args.assets, out=args.out,
+        families=args.families.split(",") if args.families else None,
+        datasets=args.datasets.split(",") if args.datasets else None,
+        configs_dir=args.configs, max_batches=args.max_batches,
+        tol=args.tol, allow_random_init=args.allow_random_init,
+        strict_convert=not args.no_strict_convert)
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()

@@ -179,6 +179,35 @@ def test_nernet_voxelization_matches_reference_semantics():
     assert np.abs(v[2, 2]).sum() > 0
 
 
+def test_nernet_row_scatter_matches_per_bin_oracle():
+    """The fast row-scatter voxelization (one (E,C)-row scatter) must
+    reproduce the reference-shaped per-bin scalar scatters on shared
+    params — including padded tails, both polarities, and normalize
+    on/off."""
+    from v2v_tpu.models.nernet import QuantizationLayerTrail
+    rng = np.random.RandomState(0)
+    e, h, w, c = 600, 12, 16, 5
+    evs = np.zeros((e, 5), np.float32)
+    evs[:, 0] = rng.randint(0, w, e)
+    evs[:, 1] = rng.randint(0, h, e)
+    evs[:, 2] = np.sort(rng.rand(e).astype(np.float32))
+    evs[:, 3] = rng.choice([-1.0, 1.0], e)
+    for normalize in (False, True):
+        for n_valid in (e, 431):
+            fast = QuantizationLayerTrail(num_bins=c, height=h, width=w,
+                                          normalize=normalize)
+            slow = QuantizationLayerTrail(num_bins=c, height=h, width=w,
+                                          normalize=normalize,
+                                          row_scatter=False)
+            params = fast.init(jax.random.PRNGKey(1), jnp.asarray(evs),
+                               jnp.int32(n_valid))
+            vf = fast.apply(params, jnp.asarray(evs), jnp.int32(n_valid))
+            vs = slow.apply(params, jnp.asarray(evs), jnp.int32(n_valid))
+            np.testing.assert_allclose(np.asarray(vf), np.asarray(vs),
+                                       atol=1e-5)
+            assert float(jnp.abs(vf).sum()) > 0
+
+
 def test_eitr_chunked_attention_matches_dense():
     from v2v_tpu.models.eitr import MultiheadAttention
     d, heads, n = 64, 4, 300

@@ -55,6 +55,13 @@ class QuantizationLayerTrail(nn.Module):
     width: int
     mlp_layers: Tuple[int, ...] = (1, 30, 30, 1)
     normalize: bool = False
+    # True (default): the temporal kernel is pixel-independent, so each
+    # event contributes ONE (C,)-row to its (polarity, y, x) pixel — a
+    # single row-scatter with C x fewer serialized indices than the
+    # reference's per-bin scalar scatters (TPU scatters serialize on
+    # index count). False = the reference-shaped per-bin scatter
+    # (semantics oracle, representation_modules.py:175-261).
+    row_scatter: bool = True
 
     @nn.compact
     def __call__(self, events: Array, n_events: Array) -> Array:
@@ -76,16 +83,28 @@ class QuantizationLayerTrail(nn.Module):
                           0.0)
 
         value_layer = ValueLayer(self.mlp_layers, name="value_layer")
-        idx_base = (x + w * y + w * h * c * p).astype(jnp.int32)
-        vox = jnp.zeros((2 * c * h * w,), jnp.float32)
-        for i_bin in range(c):
-            offset = i_bin / (c - 1) if self.normalize else float(i_bin)
-            t_weights = value_layer(t - offset)
-            values = jnp.where(valid, t * t_weights, 0.0)
-            idx = idx_base + w * h * i_bin
-            idx = jnp.clip(idx, 0, vox.shape[0] - 1)
-            vox = vox.at[idx].add(values, mode="drop")
-        vox = vox.reshape(2, c, h, w)
+        offsets = jnp.asarray(
+            [i / (c - 1) if self.normalize else float(i) for i in range(c)],
+            jnp.float32)
+        if self.row_scatter:
+            # one MLP call over (E, C) then one scatter of (C,) rows
+            t_weights = value_layer(t[:, None] - offsets[None, :])
+            values = jnp.where(valid[:, None], t[:, None] * t_weights, 0.0)
+            pix = (x + w * y + w * h * p).astype(jnp.int32)
+            pix = jnp.clip(pix, 0, 2 * h * w - 1)
+            vox2d = jnp.zeros((2 * h * w, c), jnp.float32)
+            vox2d = vox2d.at[pix].add(values, mode="drop")
+            vox = jnp.transpose(vox2d.reshape(2, h, w, c), (0, 3, 1, 2))
+        else:
+            idx_base = (x + w * y + w * h * c * p).astype(jnp.int32)
+            flat = jnp.zeros((2 * c * h * w,), jnp.float32)
+            for i_bin in range(c):
+                t_weights = value_layer(t - offsets[i_bin])
+                values = jnp.where(valid, t * t_weights, 0.0)
+                idx = idx_base + w * h * i_bin
+                idx = jnp.clip(idx, 0, flat.shape[0] - 1)
+                flat = flat.at[idx].add(values, mode="drop")
+            vox = flat.reshape(2, c, h, w)
         vox = jnp.concatenate([vox[1], vox[0]], axis=0)   # (2C,H,W)
         return jnp.transpose(vox, (1, 2, 0))[None]        # (1,H,W,2C)
 

@@ -25,22 +25,27 @@ def make_videos(b, n, h, w, seed=0):
     return np.clip(base + drift, 0, 255).astype(np.uint8)
 
 
-def numpy_baseline_clip_time(video):
-    """Reference-equivalent numpy simulator on one clip (golden model);
-    median of 3 runs."""
+def numpy_baseline_clip_time(videos):
+    """Reference-equivalent numpy simulator (golden model): median of 3
+    runs over each of 3 distinct pinned-seed clips, averaged — one clip's
+    single-run jitter halved the vs_baseline headline between rounds."""
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     from golden_esim import golden_video_to_voxel
-    n, h, w = video.shape
-    rng = np.random.RandomState(0)
-    base_noise = rng.randn(n - 1, h, w).astype(np.float32) * 0.05
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        golden_video_to_voxel(video.astype(np.float32), 0.4, 0.5,
-                              base_noise=base_noise)
-        times.append(time.perf_counter() - t0)
-    return sorted(times)[1]
+    per_clip = []
+    for ci in range(3):
+        video = videos[ci]
+        n, h, w = video.shape
+        rng = np.random.RandomState(ci)
+        base_noise = rng.randn(n - 1, h, w).astype(np.float32) * 0.05
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            golden_video_to_voxel(video.astype(np.float32), 0.4, 0.5,
+                                  base_noise=base_noise)
+            times.append(time.perf_counter() - t0)
+        per_clip.append(sorted(times)[1])
+    return float(np.mean(per_clip))
 
 
 def main():
@@ -84,7 +89,15 @@ def main():
     # relay's per-dispatch overhead, not the kernel; float(acc) at the
     # end is the only reliable sync on the relay — block_until_ready
     # does not block there.)
-    iters = 50
+    #
+    # iters=1000: the relay charges a ~33 ms FIXED overhead per chained
+    # dispatch (measured round 3 by solving t = iters*k + C from
+    # iters=50/200 pairs; docs/PERF.md). At the historical iters=50 that
+    # overhead was ~33% of the measurement and its session-to-session
+    # jitter WAS the "bench variance" (8.7k-10.6k across rounds, same
+    # code). At 1000 iters it is ~4%, and the number measures the
+    # kernel, not the relay.
+    iters = 1000
 
     @jax.jit
     def chained(video):
@@ -98,15 +111,15 @@ def main():
     v_dev = jnp.asarray(videos)                 # uint8, as the loader ships
     float(chained(v_dev))                       # compile + warm
     times = []
-    for _ in range(3):                          # median damps relay jitter
+    for _ in range(5):                          # median damps relay jitter
         t0 = time.perf_counter()
         float(chained(v_dev))
         times.append(time.perf_counter() - t0)
-    dt = sorted(times)[1]
+    dt = sorted(times)[2]
     clips_per_sec = B * iters / dt
 
     # reference CPU simulator baseline (per clip, single worker)
-    base_t = numpy_baseline_clip_time(videos[0])
+    base_t = numpy_baseline_clip_time(videos)
     baseline_clips_per_sec = 1.0 / base_t
 
     print(json.dumps({

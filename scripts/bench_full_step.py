@@ -37,6 +37,14 @@ def main():
     ap.add_argument("--flow", default=None,
                     help="raft_small|raft_large|zeros; overrides the "
                          "config's optical_flow_source (teacher ablation)")
+    ap.add_argument("--flops", action="store_true",
+                    help="print the step's HLO cost analysis (FLOPs) from "
+                         "jit lowering — no device compile needed, runs "
+                         "on CPU; combine with a measured ms/step for the "
+                         "roofline table in docs/PERF.md")
+    ap.add_argument("--flops-only", action="store_true",
+                    help="--flops without running/compiling the step "
+                         "(CPU-safe FLOP accounting)")
     args = ap.parse_args()
     if args.chunk:
         os.environ["V2V_LPIPS_CHUNK"] = str(args.chunk)
@@ -125,6 +133,18 @@ def main():
              "data_source_idx": jnp.full((b,), 11, jnp.int32)}
 
     key = jax.random.PRNGKey(1)
+    if args.flops or args.flops_only:
+        # algorithmic MXU FLOPs of the step as authored (remat recompute
+        # included — it is explicit in the jaxpr; scan bodies multiplied
+        # by length, which XLA's own cost analysis gets wrong). Trace
+        # only: no device compile, so this also runs CPU-only.
+        from v2v_tpu.utils.flops import step_flops
+        hb = jnp.float32(step_kwargs.get("hyper_beta", 0.0))
+        flops = step_flops(step._jitted, params, opt_state, batch, key, hb)
+        print(f"{name} (B={b}, {t}x{h}x{w}): {flops / 1e12:.3f} "
+              f"MXU TFLOP/step (jaxpr accounting)", flush=True)
+        if args.flops_only:
+            return
     params, opt_state, loss, _ = step(params, opt_state, batch, key,
                                       **step_kwargs)
     print(f"compile ok, first loss {float(loss):.6f}", flush=True)

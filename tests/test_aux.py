@@ -438,3 +438,38 @@ def test_v2e_emulator_parity_with_reference():
         V2EConfig(**kwargs2), jax.random.PRNGKey(0), fps=24.0))
     assert np.abs(want2 - want).sum() > 0      # the knobs actually bite
     np.testing.assert_allclose(got2, want2, atol=1e-4)
+
+
+def test_flop_counter_known_shapes():
+    """MXU FLOP accounting (utils/flops.py): exact on matmul / conv /
+    scan-with-trip-count — the properties XLA's HLO cost analysis gets
+    wrong (it counts a While body once; roofline tables in docs/PERF.md
+    depend on this counter instead)."""
+    from v2v_tpu.utils.flops import count_flops
+
+    f = count_flops(jax.make_jaxpr(lambda a, b: a @ b)(
+        jnp.zeros((64, 128)), jnp.zeros((128, 32))))
+    assert f == 2 * 64 * 128 * 32
+
+    def body(c, _):
+        return c @ jnp.ones((32, 32)), ()
+    f2 = count_flops(jax.make_jaxpr(
+        lambda c: jax.lax.scan(body, c, None, length=10))(
+            jnp.zeros((4, 32))))
+    assert f2 == 10 * 2 * 4 * 32 * 32
+
+    conv = jax.make_jaxpr(lambda x, k: jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))(
+            jnp.zeros((1, 8, 8, 3)), jnp.zeros((3, 3, 3, 16)))
+    assert count_flops(conv) == 2 * 1 * 8 * 8 * 16 * 3 * 3 * 3
+
+    # remat recompute is visible: grad-of-checkpoint re-traces the
+    # region into the backward, so fwd+bwd(remat) > fwd+bwd(plain)
+    def loss(w, x):
+        return jnp.sum(jnp.tanh(x @ w) @ w)
+    w, x = jnp.zeros((32, 32)), jnp.zeros((8, 32))
+    plain = count_flops(jax.make_jaxpr(jax.grad(loss))(w, x))
+    remat = count_flops(jax.make_jaxpr(
+        jax.grad(jax.checkpoint(loss)))(w, x))
+    assert remat > plain > 0

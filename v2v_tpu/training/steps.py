@@ -197,6 +197,7 @@ def make_train_step(interface: ModelInterface,
         return jitted(params, opt_state, batch, key,
                       jnp.float32(hyper_beta))
 
+    wrapped._jitted = jitted    # AOT access (FLOP accounting, profiling)
     return wrapped
 
 

@@ -138,11 +138,20 @@ def main():
         # included — it is explicit in the jaxpr; scan bodies multiplied
         # by length, which XLA's own cost analysis gets wrong). Trace
         # only: no device compile, so this also runs CPU-only.
-        from v2v_tpu.utils.flops import step_flops
+        from v2v_tpu.utils.flops import (count_flops_by_shape,
+                                         step_flops)
         hb = jnp.float32(step_kwargs.get("hyper_beta", 0.0))
-        flops = step_flops(step._jitted, params, opt_state, batch, key, hb)
+        jxp = jax.make_jaxpr(step._jitted)(params, opt_state, batch,
+                                           key, hb)
+        from v2v_tpu.utils.flops import count_flops
+        flops = count_flops(jxp)
         print(f"{name} (B={b}, {t}x{h}x{w}): {flops / 1e12:.3f} "
               f"MXU TFLOP/step (jaxpr accounting)", flush=True)
+        if os.environ.get("V2V_FLOPS_HIST"):
+            hist = count_flops_by_shape(jxp)
+            for k, v in sorted(hist.items(), key=lambda kv: -kv[1])[:40]:
+                print(f"  {v / 1e12:7.3f} TF  {v / flops * 100:5.1f}%  {k}",
+                      flush=True)
         if args.flops_only:
             return
     params, opt_state, loss, _ = step(params, opt_state, batch, key,

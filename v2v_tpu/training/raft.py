@@ -363,9 +363,22 @@ def _load_params(name: str, model: RAFT):
     dummy = jnp.zeros((1, 64, 64, 3))
     params = model.init(jax.random.PRNGKey(0), dummy, dummy)
     if not os.path.exists(path):
+        if os.environ.get("V2V_RANDOM_TEACHER"):
+            # loud dev-environment fallback (same pattern as the LPIPS
+            # random-feature fallback, losses/lpips.py): identical
+            # compute/memory to the pretrained teacher, but the flow
+            # targets are meaningless — loss values are self-consistent
+            # only. Soak/benchmark use; never for quality numbers.
+            import warnings
+            warnings.warn(
+                f"V2V_RANDOM_TEACHER=1: no weights at {path}; using a "
+                f"RANDOMLY INITIALIZED {name} teacher — training losses "
+                f"are not comparable to published numbers")
+            return params
         raise FileNotFoundError(
             f"RAFT teacher weights not found at {path}; save torchvision's "
-            f"{name}(pretrained=True).state_dict() there, or use "
+            f"{name}(pretrained=True).state_dict() there, set "
+            f"V2V_RANDOM_TEACHER=1 (dev), or use "
             f"optical_flow_source: zeros|gt")
     from ..models.convert import torch_state_dict_to_flax, validate_against
     import torch

@@ -292,6 +292,10 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
             train_loader.set_epoch(global_epoch)
             lr_scale = scheduler(epoch) if scheduler else 1.0
             base_lr = optimizer_spec.base_lr
+            writer.add_scalar("train/lr", base_lr * lr_scale, global_epoch)
+            if process_index == 0:
+                print(f"Stage {stage_idx}, epoch {global_epoch}: "
+                      f"lr={base_lr * lr_scale:.3e}", flush=True)
 
             t0 = time.time()
             n_batches = 0

@@ -72,6 +72,43 @@ def count_flops(jaxpr: Any) -> float:
     return total
 
 
+def count_flops_by_shape(jaxpr: Any, hist: dict | None = None,
+                         mult: float = 1.0) -> dict:
+    """FLOP histogram keyed by (primitive, operand/result signature) —
+    the roofline-attack view: which matmul/conv shapes carry the FLOPs
+    (small contraction dims and small channel counts cannot fill the
+    MXU's 128 lanes)."""
+    if hist is None:
+        hist = {}
+    if hasattr(jaxpr, "jaxpr"):
+        jaxpr = jaxpr.jaxpr
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            lhs, rhs = (v.aval.shape for v in eqn.invars[:2])
+            key = f"dot {lhs}x{rhs}->{eqn.outvars[0].aval.shape}"
+            hist[key] = hist.get(key, 0.0) + mult * _dot_flops(eqn)
+        elif name == "conv_general_dilated":
+            lhs, rhs = (v.aval.shape for v in eqn.invars[:2])
+            key = f"conv {lhs}*{rhs}->{eqn.outvars[0].aval.shape}"
+            hist[key] = hist.get(key, 0.0) + mult * _conv_flops(eqn)
+        elif name == "scan":
+            count_flops_by_shape(eqn.params["jaxpr"], hist,
+                                 mult * eqn.params["length"])
+        elif name == "while":
+            count_flops_by_shape(eqn.params["body_jaxpr"], hist, mult)
+        elif name == "cond":
+            for b in eqn.params["branches"]:
+                count_flops_by_shape(b, hist, mult)
+        else:
+            for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+                inner = eqn.params.get(key) if eqn.params else None
+                if inner is not None:
+                    count_flops_by_shape(inner, hist, mult)
+                    break
+    return hist
+
+
 def step_flops(jitted, *args, **kwargs) -> float:
     """FLOPs of a jitted function at these arguments (trace only)."""
     import jax

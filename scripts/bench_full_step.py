@@ -46,6 +46,13 @@ def main():
                     help="--flops without running/compiling the step "
                          "(CPU-safe FLOP accounting)")
     args = ap.parse_args()
+    run(args)
+
+
+def build(args):
+    """Construct the fused train step + inputs for a config (shared
+    with scripts/roofline_floor.py). Returns
+    (name, step, params, opt_state, batch, key, step_kwargs, dims)."""
     if args.chunk:
         os.environ["V2V_LPIPS_CHUNK"] = str(args.chunk)
 
@@ -133,6 +140,15 @@ def main():
              "data_source_idx": jnp.full((b,), 11, jnp.int32)}
 
     key = jax.random.PRNGKey(1)
+    return (name, step, params, opt_state, batch, key, step_kwargs,
+            (b, t, h, w))
+
+
+def run(args):
+    import jax
+    import jax.numpy as jnp
+    (name, step, params, opt_state, batch, key, step_kwargs,
+     (b, t, h, w)) = build(args)
     if args.flops or args.flops_only:
         # algorithmic MXU FLOPs of the step as authored (remat recompute
         # included — it is explicit in the jaxpr; scan bodies multiplied

@@ -116,10 +116,10 @@ def train_config(name, model, loss, stages, **top):
     # bf16 recurrent forward/backward (master params, BN stats and the
     # loss stay f32) — the MXU-native mixed precision the measured step
     # times assume. Delete the key for exact-f32 training like the
-    # reference. Flow-task training (FlowModelInterface) runs f32; the
-    # key is not emitted there.
-    if cfg.get("task", "e2vid") == "e2vid":
-        cfg["module"]["compute_dtype"] = "bfloat16"
+    # reference. Flow-task training casts the same way
+    # (FlowModelInterface._cast_compute); before round 3 it silently
+    # ran f32 (docs/PERF.md dtype census).
+    cfg["module"]["compute_dtype"] = "bfloat16"
     return cfg
 
 

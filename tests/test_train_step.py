@@ -474,3 +474,58 @@ def test_eraft_video_mode_train_traces():
 
     out = jax.eval_shape(jax.grad(loss_fn), params)
     assert jax.tree.structure(out) == jax.tree.structure(params)
+
+
+def test_flow_train_step_bf16_compute():
+    """Flow-task mixed precision: the roofline dtype census caught both
+    flow forwards silently running f32 (eraft 95.7% / evflow 91.4% f32
+    FLOPs — docs/PERF.md). Pins the bf16 path: finite losses, f32
+    master params, and a first-step loss matching the f32 run."""
+    from v2v_tpu.training.flow_interface import FlowModelInterface
+    # both production configs ship output_additional_frame (T+1 GT
+    # frames for the teacher's pairs); eraft adds the leading group
+    cases = (
+        ("evflow", {"target": "model.model.EVFlowNet",
+                    "params": {"unet_kwargs": {"num_bins": 5}}},
+         dict(extra_frame=True, extra_evs=False)),
+        ("eraft", {"target": "model.eraft.eraft.ERAFT",
+                   "params": {"config": {"subtype": "warm_start"},
+                              "n_first_channels": 5, "iters": 2}},
+         dict(extra_frame=True, extra_evs=True)),
+    )
+    for ftype, model, extra in cases:
+        losses = {}
+        for dtype in (None, "bfloat16"):
+            cfg = {"loss": {"l1_weight": 1.0,
+                            "optical_flow_source": "zeros"},
+                   "forward_type": ftype, "model": model}
+            if dtype:
+                cfg["compute_dtype"] = dtype
+            iface = FlowModelInterface(cfg)
+            # eraft consumes voxel PAIRS: L + extra_evs groups -> L flows
+            b, L, bins, h, w = 2, (1 if ftype == "eraft" else 2), 5, 32, 32
+            n = (L + (1 if extra["extra_evs"] else 0)) * bins + 1
+            params, _ = iface.init(jax.random.PRNGKey(0), b, h, w)
+            opt = Adam(lr=1e-3).make()
+            opt_state = opt.init(params)
+            rng = np.random.RandomState(0)
+            batch = {"video": jnp.asarray(
+                         rng.randint(0, 255, (b, n, h, w)).astype(np.uint8)),
+                     "data_source_idx": jnp.full((b,), 11, jnp.int32)}
+            step = make_train_step(iface, opt, sim_cfg=SimConfig(),
+                                   num_bins=bins, donate=False, **extra)
+            ls = []
+            for i in range(3):
+                params, opt_state, loss, _ = step(
+                    params, opt_state, batch,
+                    jax.random.fold_in(jax.random.PRNGKey(1), i))
+                ls.append(float(loss))
+            assert np.isfinite(ls).all(), (ftype, dtype, ls)
+            assert all(p.dtype == jnp.float32
+                       for p in jax.tree.leaves(params)
+                       if jnp.issubdtype(p.dtype, jnp.floating)), \
+                (ftype, dtype)
+            losses[dtype] = ls
+        f32_0, bf16_0 = losses[None][0], losses["bfloat16"][0]
+        assert abs(f32_0 - bf16_0) < 0.05 * abs(f32_0) + 1e-3, \
+            (ftype, f32_0, bf16_0)

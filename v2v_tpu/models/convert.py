@@ -142,10 +142,29 @@ def torch_state_dict_to_flax(state_dict: Dict[str, Any]) -> Dict[str, Any]:
             continue
         _set_path(params, module_path + [leaf], arr)
 
+    _stack_eitr_streams(params)
     out: Dict[str, Any] = {"params": params}
     if batch_stats:
         out["batch_stats"] = batch_stats
     return out
+
+
+def _stack_eitr_streams(params: Dict[str, Any]) -> None:
+    """EITR layout quirk: the torch model's three same-shape transformer
+    streams (trans_encoder0/1/2, trans_decoder0/1/2 — reference
+    model/eitr/u_trans.py:96-105) run as ONE nn.vmap'd module here
+    (models/eitr.py), so their converted weights stack on a leading
+    (3,) axis under tri_encoder / tri_decoder."""
+    def stack(trees):
+        if isinstance(trees[0], dict):
+            return {k: stack([t[k] for t in trees]) for k in trees[0]}
+        return np.stack(trees)
+
+    for base, tri in (("trans_encoder", "tri_encoder"),
+                      ("trans_decoder", "tri_decoder")):
+        names = [f"{base}{i}" for i in range(3)]
+        if all(n in params for n in names):
+            params[tri] = stack([params.pop(n) for n in names])
 
 
 def _tree_paths(tree, prefix=()):

@@ -127,7 +127,10 @@ class MultiheadAttention(nn.Module):
             logits = jnp.einsum("bhnd,bhmd->bhnm", aq, ak,
                                 preferred_element_type=jnp.float32
                                 ) / np.sqrt(dh)
-            attn = jax.nn.softmax(logits, axis=-1)
+            # logits/softmax stay f32 (stability); the value contraction
+            # returns to the compute dtype — otherwise one f32 softmax
+            # promotes every downstream matmul under bf16 training
+            attn = jax.nn.softmax(logits, axis=-1).astype(av.dtype)
             if train and self.dropout > 0:
                 attn = nn.Dropout(self.dropout, deterministic=False)(attn)
             out = jnp.einsum("bhnm,bhmd->bhnd", attn, av)
@@ -262,16 +265,37 @@ class EITR(nn.Module):
         words2 = w2.reshape(b, -1, d)
 
         n_tok = words0.shape[1]
-        pos = jnp.asarray(sinusoid_pos_table(n_tok, d))[None]
+        # cast the f32 table to the compute dtype: `words + pos` would
+        # otherwise promote the WHOLE transformer + decoder to f32 under
+        # bf16 training (found by the roofline dtype census — f32 runs
+        # the MXU at half rate)
+        pos = jnp.asarray(sinusoid_pos_table(n_tok, d)).astype(
+            words0.dtype)[None]
 
-        hs0 = TransformerEncoder(3, name="trans_encoder0")(words0, pos, train)
-        hs1 = TransformerEncoder(3, name="trans_encoder1")(words1, pos, train)
-        hs2 = TransformerEncoder(3, name="trans_encoder2")(words2, pos, train)
-        hc0 = TransformerDecoder(2, name="trans_decoder0")(hs0, hs0, train)
-        hc1 = TransformerDecoder(2, name="trans_decoder1")(hs1, hs0, train)
-        hc2 = TransformerDecoder(2, name="trans_decoder2")(hs2, hs1, train)
+        # The reference runs its three same-shape encoder/decoder streams
+        # sequentially (u_trans.py:96-105) — a CUDA-stream artifact. On
+        # TPU the three streams are one BATCHED computation: nn.vmap
+        # stacks their params on a leading (3,) axis, so every projection
+        # / attention / FFN matmul of the transformer becomes one
+        # 3x-larger batched dot instead of three small dispatches (the
+        # roofline gap in docs/PERF.md). The torch converter stacks
+        # trans_{en,de}coder{0,1,2} weights into tri_{en,de}coder
+        # (models/convert.py:_stack_eitr_streams) — numerics unchanged.
+        tri_enc = nn.vmap(TransformerEncoder,
+                          in_axes=(0, None, None), out_axes=0,
+                          variable_axes={"params": 0},
+                          split_rngs={"params": True, "dropout": True})
+        tri_dec = nn.vmap(TransformerDecoder,
+                          in_axes=(0, 0, None), out_axes=0,
+                          variable_axes={"params": 0},
+                          split_rngs={"params": True, "dropout": True})
+        words = jnp.stack([words0, words1, words2])
+        hs_enc = tri_enc(3, name="tri_encoder")(words, pos, train)
+        hs0, hs1 = hs_enc[0], hs_enc[1]
+        memory = jnp.stack([hs0, hs0, hs1])
+        hc = tri_dec(2, name="tri_decoder")(hs_enc, memory, train)
 
-        hs = (hs0 + hs1 + hs2 + hc0 + hc1 + hc2) / 6.0
+        hs = (jnp.sum(hs_enc, axis=0) + jnp.sum(hc, axis=0)) / 6.0
         hs = hs.reshape(b, h // 8, w // 8, d)
 
         # skips: blocks[2] (256ch), blocks[1] (128), blocks[0] (64)

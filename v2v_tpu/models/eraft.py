@@ -107,7 +107,10 @@ def correlation_pyramid(fmap1: Array, fmap2: Array,
     f2 = fmap2.reshape(b, h * w, c)
     corr = jnp.einsum("bnc,bmc->bnm", f1, f2,
                       preferred_element_type=jnp.float32) / np.sqrt(c)
-    corr = corr.reshape(b * h * w, h, w, 1)
+    # accumulate f32, STORE in the compute dtype: an f32 pyramid would
+    # re-promote the lookup -> motion encoder -> GRU chain to f32 under
+    # bf16 training (the dtype-census finding in docs/PERF.md)
+    corr = corr.astype(fmap1.dtype).reshape(b * h * w, h, w, 1)
     pyramid = [corr]
     for _ in range(num_levels - 1):
         bb, hh, ww, _ = corr.shape
@@ -413,7 +416,10 @@ class ERAFT(nn.Module):
         for _ in range(self.iters):
             coords1 = jax.lax.stop_gradient(coords1)
             corr = lookup_pyramid(pyramid, coords1)
-            flow = coords1 - coords0
+            # coords stay f32 (positional accuracy over 12 iterations);
+            # the GRU input flow drops to the compute dtype so one f32
+            # operand cannot promote the whole update block
+            flow = (coords1 - coords0).astype(net.dtype)
             net, up_mask, delta = self.update_block(net, inp, corr, flow)
             coords1 = coords1 + delta
         flow_low = coords1 - coords0

@@ -77,8 +77,31 @@ class FlowModelInterface(ModelInterface):
             ret = self._forward_evflow(params, events, state, train)
         return ret if return_updates else ret[:2]
 
+    def _cast_compute(self, params, state, events, train,
+                      cast_state=True):
+        """bf16 compute cast (same recipe as the base forward_sequence:
+        params['params'] + inputs + carry cast, batch_stats stay f32,
+        outputs return to f32). The flow forwards ran silently in f32
+        before this — found by the roofline dtype census (docs/PERF.md:
+        eraft 95.7% / evflow 91.4% f32 FLOPs, half MXU rate).
+        cast_state=False for ERAFT: its carry is the warm-start flow —
+        a coordinate quantity kept f32 (ERAFT.step_with_fmaps returns
+        it f32, so the scan carry dtype must match)."""
+        if not (train and self.compute_dtype):
+            return params, state, events
+        dtype = jnp.dtype(self.compute_dtype)
+        cast = (lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x)
+        params = dict(params)
+        params["params"] = jax.tree.map(cast, params["params"])
+        if cast_state:
+            state = jax.tree.map(cast, state)
+        return params, state, events.astype(dtype)
+
     def _forward_evflow(self, params, events, state, train):
         events, hw = pad_to_multiple(events, 16)
+        params, state, events = self._cast_compute(params, state, events,
+                                                   train)
 
         def apply_fn(variables, carry, voxel, mutable):
             if mutable:
@@ -93,7 +116,7 @@ class FlowModelInterface(ModelInterface):
         final_state, flows, updates = scan_recurrent(
             apply_fn, params, state, jnp.swapaxes(events, 0, 1), train,
             self.remat_policy)
-        flows = jnp.swapaxes(flows, 0, 1)
+        flows = jnp.swapaxes(flows, 0, 1).astype(jnp.float32)
         return crop_from_multiple(flows, hw), final_state, updates
 
     def _forward_eraft(self, params, events, state, train):
@@ -111,6 +134,8 @@ class FlowModelInterface(ModelInterface):
         dominates the forward FLOPs. lax.map chunks the encode per time
         step; jax.checkpoint keeps only the (T+1, B, H/8, W/8, 256)
         feature maps live for the backward."""
+        params, state, events = self._cast_compute(params, state, events,
+                                                   train, cast_state=False)
         xs_t = jnp.swapaxes(events, 0, 1)          # (T+1, B, H, W, bins)
 
         def encode(voxel):
@@ -142,7 +167,8 @@ class FlowModelInterface(ModelInterface):
         final_state, flows, updates = scan_recurrent(
             apply_fn, params, state, jnp.arange(xs_t.shape[0] - 1),
             train, self.remat_policy)
-        return jnp.swapaxes(flows, 0, 1), final_state, updates
+        flows = jnp.swapaxes(flows, 0, 1).astype(jnp.float32)
+        return flows, final_state, updates
 
     def calc_loss(self, pred: Array, batch: Dict[str, Array],
                   remove_flow_loss: bool = False):

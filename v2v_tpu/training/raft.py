@@ -318,7 +318,9 @@ class RAFT(nn.Module):
         for _ in range(self.iters):
             coords1 = jax.lax.stop_gradient(coords1)
             corr = lookup_pyramid(pyramid, coords1, radius=radius)
-            flow = coords1 - coords0
+            # coords stay f32; the GRU input drops to the compute dtype
+            # (same dtype hygiene as ERAFT.step_with_fmaps)
+            flow = (coords1 - coords0).astype(net.dtype)
             net, delta = self.update_block(net, inp, flow, corr)
             coords1 = coords1 + delta
             if not self.small:
@@ -354,6 +356,24 @@ def seed_random_teacher(source: str, num_flow_updates: int = 12,
     dummy = jnp.zeros((1, 64, 64, 3))
     params = model.init(jax.random.PRNGKey(seed), dummy, dummy)
     _cache[(source, num_flow_updates)] = (model, params)
+
+
+def warm_teacher(source: str, num_flow_updates: int = 12) -> None:
+    """Eagerly fill the raft_flow cache OUTSIDE any jit trace.
+
+    raft_flow's lazy _load_params would otherwise run during the train
+    step's first trace; flax `init`'s inner jit then yields TRACER
+    params which get cached and leak into any LATER trace
+    (UnexpectedTracerError on the first post-resume step — found by the
+    round-3 on-chip soak's phase 2, where resume re-traces the step in
+    a process whose cache was filled by that same trace's predecessor).
+    make_train_step calls this before jitting; the CLAUDE.md invariant:
+    heavy host objects are constructed eagerly, never inside a trace."""
+    cache_key = (source, num_flow_updates)
+    if cache_key in _cache:
+        return
+    model = RAFT(small=source == "raft_small", iters=num_flow_updates)
+    _cache[cache_key] = (model, _load_params(source, model))
 
 
 def _load_params(name: str, model: RAFT):

@@ -138,6 +138,18 @@ def make_train_step(interface: ModelInterface,
 
     use_hyper = interface.hyper_epochs > 0
 
+    # teacher weights load/init EAGERLY, never inside the step's trace
+    # (tracer-leak hazard — see raft.warm_teacher). e2vid task uses the
+    # teacher only for the TC loss; the flow task uses it for pseudo-GT
+    # whenever the source is a raft model.
+    lc = interface.loss_cfg
+    src = str(getattr(lc, "optical_flow_source", "gt"))
+    if src.startswith("raft") and (
+            getattr(lc, "temporal_consistency_weight", 0)
+            or hasattr(interface, "forward_type")):
+        from .raft import warm_teacher
+        warm_teacher(src, getattr(lc, "raft_num_flow_updates", 12))
+
     def step(params, opt_state, batch: Dict[str, Array], key: Array,
              hyper_beta: Array):
         if sim_cfg is not None:

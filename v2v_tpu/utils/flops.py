@@ -109,6 +109,62 @@ def count_flops_by_shape(jaxpr: Any, hist: dict | None = None,
     return hist
 
 
+def collect_mxu_ops(jaxpr: Any, out: dict | None = None,
+                    mult: float = 1.0) -> dict:
+    """Aggregate every dot_general / conv_general_dilated in the program
+    with enough of its params to REPLAY it standalone (the measured-
+    floor method: microbench each unique shape on-chip, floor =
+    sum(flops_i / measured_rate_i); scripts/roofline_floor.py).
+
+    Returns {signature: {kind, lhs/rhs shape+dtype, params, flops,
+    count}} with scan trip counts multiplied through."""
+    if out is None:
+        out = {}
+    if hasattr(jaxpr, "jaxpr"):
+        jaxpr = jaxpr.jaxpr
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name in ("dot_general", "conv_general_dilated"):
+            lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+            if name == "dot_general":
+                keep = {"dimension_numbers": eqn.params["dimension_numbers"],
+                        "preferred_element_type":
+                            eqn.params.get("preferred_element_type")}
+                fl = _dot_flops(eqn)
+            else:
+                keep = {k: eqn.params[k] for k in
+                        ("window_strides", "padding", "lhs_dilation",
+                         "rhs_dilation", "dimension_numbers",
+                         "feature_group_count", "batch_group_count")}
+                keep["preferred_element_type"] = eqn.params.get(
+                    "preferred_element_type")
+                fl = _conv_flops(eqn)
+            sig = (name, lhs.shape, str(lhs.dtype), rhs.shape,
+                   str(rhs.dtype), repr(keep))
+            ent = out.setdefault(sig, {
+                "kind": name, "lhs_shape": lhs.shape,
+                "lhs_dtype": str(lhs.dtype), "rhs_shape": rhs.shape,
+                "rhs_dtype": str(rhs.dtype), "params": keep,
+                "flops": 0.0, "count": 0.0})
+            ent["flops"] += mult * fl
+            ent["count"] += mult
+        elif name == "scan":
+            collect_mxu_ops(eqn.params["jaxpr"], out,
+                            mult * eqn.params["length"])
+        elif name == "while":
+            collect_mxu_ops(eqn.params["body_jaxpr"], out, mult)
+        elif name == "cond":
+            for b in eqn.params["branches"]:
+                collect_mxu_ops(b, out, mult)
+        else:
+            for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+                inner = eqn.params.get(key) if eqn.params else None
+                if inner is not None:
+                    collect_mxu_ops(inner, out, mult)
+                    break
+    return out
+
+
 def step_flops(jitted, *args, **kwargs) -> float:
     """FLOPs of a jitted function at these arguments (trace only)."""
     import jax

@@ -150,7 +150,9 @@ def run_phase(cmd, cwd, log_path, kill_after_epochs=None,
             with open(f"/proc/{proc.pid}/status") as f:
                 for line in f:
                     if line.startswith("VmRSS"):
-                        rss_samples.append(int(line.split()[1]) // 1024)
+                        rss_samples.append(
+                            (round(time.time() - t0, 1),
+                             int(line.split()[1]) // 1024))
                         break
         except OSError:
             pass
@@ -262,8 +264,11 @@ def main():
     total_steps = sum(e[2] for e in epochs)
     first, last = np.mean(losses[:3]), np.mean(losses[-3:])
     assert last < first, f"loss did not trend down: {first} -> {last}"
-    rss_peak, rss_p1 = max(rss), max(rss[:max(1, len(rss) // 4)])
+    rss_vals = [v for (_, v) in rss]
+    rss_peak = max(rss_vals)
+    rss_p1 = max(rss_vals[:max(1, len(rss_vals) // 4)])
     summary = {
+        "rss_series": rss[::6],        # ~30s grain, phase-relative time
         "total_steps": total_steps,
         "epochs": len(epochs),
         "resume_epoch": resume_epoch,
@@ -279,7 +284,8 @@ def main():
     with open(os.path.join(wd, "soak_summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({k: v for k, v in summary.items()
-                      if k != "loss_by_step"}, indent=1), flush=True)
+                      if k not in ("loss_by_step", "rss_series")},
+                     indent=1), flush=True)
     print("SOAK OK", flush=True)
 
 

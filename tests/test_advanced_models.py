@@ -271,3 +271,28 @@ def test_forward_interpolate_matmul_matches_scatter():
     np.testing.assert_allclose(np.asarray(forward_interpolate_scatter(flow)),
                                np.asarray(forward_interpolate(flow)),
                                atol=1e-5)
+
+
+def test_eitr_chunked_eval_attention_under_stream_vmap():
+    """The big-token eval branch (chunked query blocks off-TPU, Pallas
+    flash on-TPU) must keep working under the tri-stream nn.vmap fusion
+    — vmap batches the attention internals over the stacked (3,) stream
+    axis. Forcing chunk_threshold below the token count must reproduce
+    the einsum path bit-for-bit."""
+    import v2v_tpu.models.eitr as eitr_mod
+
+    m = eitr_mod.EITR(eitr_kwargs={"num_bins": 5, "norm": None})
+    h, w = 64, 64
+    x = jnp.asarray(np.random.RandomState(0).randn(1, h, w, 5) * 0.3,
+                    jnp.float32)
+    state = m.init_state(1, h, w)
+    params = m.init(jax.random.PRNGKey(0), x, state)
+    out1, _ = m.apply(params, x, state)
+    old = eitr_mod.MultiheadAttention.chunk_threshold
+    try:
+        eitr_mod.MultiheadAttention.chunk_threshold = 16
+        out2, _ = m.apply(params, x, state)
+    finally:
+        eitr_mod.MultiheadAttention.chunk_threshold = old
+    np.testing.assert_allclose(np.asarray(out1["image"]),
+                               np.asarray(out2["image"]), atol=2e-5)

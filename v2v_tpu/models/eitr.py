@@ -265,12 +265,7 @@ class EITR(nn.Module):
         words2 = w2.reshape(b, -1, d)
 
         n_tok = words0.shape[1]
-        # cast the f32 table to the compute dtype: `words + pos` would
-        # otherwise promote the WHOLE transformer + decoder to f32 under
-        # bf16 training (found by the roofline dtype census — f32 runs
-        # the MXU at half rate)
-        pos = jnp.asarray(sinusoid_pos_table(n_tok, d)).astype(
-            words0.dtype)[None]
+        pos = jnp.asarray(sinusoid_pos_table(n_tok, d))[None]   # f32
 
         # The reference runs its three same-shape encoder/decoder streams
         # sequentially (u_trans.py:96-105) — a CUDA-stream artifact. On
@@ -289,13 +284,21 @@ class EITR(nn.Module):
                           in_axes=(0, 0, None), out_axes=0,
                           variable_axes={"params": 0},
                           split_rngs={"params": True, "dropout": True})
-        words = jnp.stack([words0, words1, words2])
+        # The transformer runs in f32 DELIBERATELY, whatever the compute
+        # dtype: it is VPU/relayout-bound (LayerNorm/softmax/dropout
+        # chains over small (B,256,256) tokens), and bf16 there measured
+        # 1220 ms/step vs 797 ms for f32 at the production train shape —
+        # the converts around every f32-accumulating op cost far more
+        # than the tiny matmuls save (docs/PERF.md round-3 ETNet table).
+        # The conv encoder/decoder stays in the compute dtype (bf16).
+        words = jnp.stack([words0, words1, words2]).astype(jnp.float32)
+        pos = pos.astype(jnp.float32)
         hs_enc = tri_enc(3, name="tri_encoder")(words, pos, train)
         hs0, hs1 = hs_enc[0], hs_enc[1]
         memory = jnp.stack([hs0, hs0, hs1])
         hc = tri_dec(2, name="tri_decoder")(hs_enc, memory, train)
-
-        hs = (jnp.sum(hs_enc, axis=0) + jnp.sum(hc, axis=0)) / 6.0
+        hs = ((jnp.sum(hs_enc, axis=0) + jnp.sum(hc, axis=0)) / 6.0
+              ).astype(words0.dtype)
         hs = hs.reshape(b, h // 8, w // 8, d)
 
         # skips: blocks[2] (256ch), blocks[1] (128), blocks[0] (64)

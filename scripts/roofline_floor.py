@@ -128,7 +128,9 @@ def main():
     print("  dtype census: " + ", ".join(
         f"{k} {v / total * 100:.1f}%" for k, v in
         sorted(by_dtype.items(), key=lambda kv: -kv[1])) +
-        "  (f32 runs the MXU at half rate — leaks are bugs)", flush=True)
+        "  (f32 runs the MXU at half rate — every f32 share must be "
+        "deliberate, e.g. ETNet's VPU-bound transformer; PERF.md)",
+        flush=True)
     if args.collect_only:
         for e in top:
             print(f"  {e['flops'] / 1e12:7.3f} TF x{e['count']:6.0f} "

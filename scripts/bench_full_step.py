@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--remat-policy", default="full")
     ap.add_argument("--chunk", type=int, default=0)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--scan-split", default="on", choices=["on", "off"],
+                    help="forward-split path (spine-only scan + T-batched "
+                         "pre/tail; interface._forward_split) — 'off' "
+                         "forces the original full-body scan")
     ap.add_argument("--flow", default=None,
                     help="raft_small|raft_large|zeros; overrides the "
                          "config's optical_flow_source (teacher ablation)")
@@ -45,8 +49,17 @@ def main():
     ap.add_argument("--flops-only", action="store_true",
                     help="--flops without running/compiling the step "
                          "(CPU-safe FLOP accounting)")
+    ap.add_argument("--ab-split", action="store_true",
+                    help="run scan_split on THEN off in ONE process "
+                         "(one relay session, so the comparison is free "
+                         "of session drift)")
     args = ap.parse_args()
-    run(args)
+    if args.ab_split:
+        for mode in ("on", "off"):
+            args.scan_split = mode
+            run(args)
+    else:
+        run(args)
 
 
 def build(args):
@@ -113,6 +126,8 @@ def build(args):
             args.flow, int(cfg.get("loss", {}).get("raft_num_flow_updates",
                                                    12)))
 
+    if getattr(args, "scan_split", "on") == "off":
+        cfg["scan_split"] = False
     if task == "flow":
         from v2v_tpu.training.flow_interface import FlowModelInterface
         iface = FlowModelInterface(cfg)
@@ -183,6 +198,7 @@ def run(args):
     med = sorted(ts)[len(ts) // 2]
     print(f"{name} (B={b}, {t}x{h}x{w}) lpips_remat={args.lpips_remat} "
           f"remat_policy={args.remat_policy} chunk={args.chunk or 'auto'} "
+          f"scan_split={getattr(args, 'scan_split', 'on')} "
           f"flow={args.flow}: {med * 1e3:.0f} ms/step (all: "
           f"{', '.join(f'{x * 1e3:.0f}' for x in ts)}), "
           f"last loss {l:.6f}", flush=True)

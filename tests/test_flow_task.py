@@ -31,6 +31,28 @@ def test_flow_forward_and_loss():
     assert "l1_loss" in aux
 
 
+def test_evflow_flat_batch_matches_scan():
+    """The non-recurrent flat-batch path (B*T batched forward) must
+    match the per-step scan: values and grads, f32."""
+    iface_on = FlowModelInterface(dict(FLOW_CFG, scan_split=True))
+    iface_off = FlowModelInterface(dict(FLOW_CFG, scan_split=False))
+    params, _ = iface_on.init(jax.random.PRNGKey(0), 2, 32, 32)
+    events = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32, 5))
+    state = iface_on.init_state(2, 32, 32)
+
+    def loss(iface):
+        def fn(p):
+            pred, _ = iface.forward_sequence(p, events, state, train=True)
+            return jnp.sum(pred ** 2)
+        return jax.value_and_grad(fn)(params)
+
+    l_on, g_on = loss(iface_on)
+    l_off, g_off = loss(iface_off)
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3), g_on, g_off)
+
+
 def test_flow_metrics_masks():
     h, w = 8, 8
     pred = np.zeros((1, 1, h, w, 2))

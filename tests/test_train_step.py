@@ -251,6 +251,84 @@ def test_eval_forward_state_streaming():
                                atol=1e-5)
 
 
+def test_forward_split_matches_full_scan():
+    """The forward-split path (spine-only scan + T-batched pre/tail,
+    interface._forward_split) must match the full-body scan: same math,
+    reassociated. Values, final state, and grads, f32, for all three
+    recurrent UNet families."""
+    targets = ["model.model.E2VIDRecurrent", "model.model.FlowNet",
+               "model.model.WFlowNet"]
+    events = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 24, 24, 5))
+    for target in targets:
+        cfg = {"loss": {"l1_weight": 1.0},
+               "model": {"target": target, "params": {"unet_kwargs": {
+                   "num_bins": 5, "skip_type": "sum",
+                   "recurrent_block_type": "convlstm", "num_encoders": 3,
+                   "base_num_channels": 4, "num_residual_blocks": 1,
+                   "use_upsample_conv": True, "final_activation": "",
+                   "norm": "none"}}}}
+        iface_on = ModelInterface(dict(cfg, scan_split=True))
+        iface_off = ModelInterface(dict(cfg, scan_split=False))
+        params, _ = iface_on.init(jax.random.PRNGKey(0), 2, 24, 24)
+        s0 = iface_on.init_state(2, 24, 24)
+
+        def loss_on(p):
+            pred, st = iface_on.forward_sequence(p, events, s0, train=True)
+            return jnp.sum(pred ** 2), (pred, st)
+
+        def loss_off(p):
+            pred, st = iface_off.forward_sequence(p, events, s0, train=True)
+            return jnp.sum(pred ** 2), (pred, st)
+
+        (l_on, (pred_on, st_on)), g_on = jax.value_and_grad(
+            loss_on, has_aux=True)(params)
+        (l_off, (pred_off, st_off)), g_off = jax.value_and_grad(
+            loss_off, has_aux=True)(params)
+        np.testing.assert_allclose(np.asarray(pred_on),
+                                   np.asarray(pred_off), atol=1e-5,
+                                   err_msg=target)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5), st_on, st_off)
+        np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-5)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4,
+            rtol=1e-3, err_msg=target), g_on, g_off)
+
+
+def test_forward_split_matches_full_scan_eitr():
+    """ETNet's split path hoists the ENTIRE transformer pyramid +
+    decoder out of the scan — same math reassociated (dropout: 0 so
+    both paths are deterministic; the production 0.1 dropout draws an
+    iid mask either way)."""
+    cfg = {"loss": {"l1_weight": 1.0},
+           "model": {"target": "model.eitr.eitr.EITR",
+                     "params": {"eitr_kwargs": {
+                         "num_bins": 5, "norm": "none", "dropout": 0.0}}}}
+    iface_on = ModelInterface(dict(cfg, scan_split=True))
+    iface_off = ModelInterface(dict(cfg, scan_split=False))
+    events = jax.random.normal(jax.random.PRNGKey(5), (2, 3, 16, 16, 5))
+    params, _ = iface_on.init(jax.random.PRNGKey(0), 2, 16, 16)
+    s0 = iface_on.init_state(2, 16, 16)
+
+    def make_loss(iface):
+        def fn(p):
+            pred, st = iface.forward_sequence(p, events, s0, train=True)
+            return jnp.sum(pred ** 2), (pred, st)
+        return fn
+
+    (l_on, (pred_on, st_on)), g_on = jax.value_and_grad(
+        make_loss(iface_on), has_aux=True)(params)
+    (l_off, (pred_off, st_off)), g_off = jax.value_and_grad(
+        make_loss(iface_off), has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(pred_on), np.asarray(pred_off),
+                               atol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5), st_on, st_off)
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=3e-4, rtol=2e-3), g_on, g_off)
+
+
 def test_train_step_bf16_compute():
     """Mixed-precision option: bf16 forward/backward, f32 master params."""
     cfg = dict(MODULE_CFG)

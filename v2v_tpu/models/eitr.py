@@ -226,47 +226,33 @@ class TransformerDecoder(nn.Module):
 
 class EITR(nn.Module):
     """Reference target `model.eitr.eitr.EITR` (eitr_kwargs: num_bins,
-    norm). State: 3 ConvLSTM states."""
+    norm). State: 3 ConvLSTM states.
+
+    Split into pre / spine_step / tail like the recurrent UNets
+    (models/unet.py _RecurrentUNetBase) so the task interface can hoist
+    the temporally-independent work — here that includes the ENTIRE
+    transformer pyramid and upsample decoder, which at the production
+    train shape (B=6) is VPU-bound on tiny (6,256,256) token tensors;
+    T-batched it runs once on (6*T,256,256). __call__ composes the three
+    (single-step semantics and the torch parity tests unchanged).
+    Setup-style with the attribute names matching the reference param
+    tree (head / DownsampleConv_i / split1,2 / tri_* / UpsampleConv_i /
+    pred)."""
     eitr_kwargs: Dict[str, Any]
 
-    @nn.compact
-    def __call__(self, x: Array, state: List[Any], train: bool = False
-                 ) -> Tuple[Dict[str, Array], List[Any]]:
-        num_bins = self.eitr_kwargs.get("num_bins", 5)
+    def setup(self):
         norm = self.eitr_kwargs.get("norm")
         if norm in ("none", "None", ""):
             norm = None
-        b, h_in, w_in, _ = x.shape
-        cp = CropParameters(w_in, h_in, 3)      # pad to x8, centered
-        if (h_in % 8) or (w_in % 8):
-            x = cp.pad(x)
-        h, w = x.shape[1:3]
-
-        x = ConvLayer(32, 5, 1, norm=norm, name="head")(x, train=train)
-        head = x
-        blocks, new_states = [], []
-        for i, ch in enumerate((64, 128, 256)):
-            x, s = RecurrentConvLayer(ch, 5, 2, "convlstm", norm=norm,
-                                      name=f"DownsampleConv_{i}")(
-                x, state[i], train=train)
-            blocks.append(x)
-            new_states.append(s)
-
-        d = 256
-        # scale 0: coarsest feature map, 1x1 tokens
-        words0 = blocks[-1].reshape(b, -1, d)
-        # scale 1: 2x2-patch conv on the 128ch map
-        w1 = nn.Conv(d, (2, 2), strides=(2, 2), padding="VALID",
-                     name="split1")(blocks[-2])
-        words1 = w1.reshape(b, -1, d)
-        # scale 2: 4x4-patch conv on the 64ch map
-        w2 = nn.Conv(d, (4, 4), strides=(4, 4), padding="VALID",
-                     name="split2")(blocks[-3])
-        words2 = w2.reshape(b, -1, d)
-
-        n_tok = words0.shape[1]
-        pos = jnp.asarray(sinusoid_pos_table(n_tok, d))[None]   # f32
-
+        self.head = ConvLayer(32, 5, 1, norm=norm)
+        self.DownsampleConv_0 = RecurrentConvLayer(64, 5, 2, "convlstm",
+                                                   norm=norm)
+        self.DownsampleConv_1 = RecurrentConvLayer(128, 5, 2, "convlstm",
+                                                   norm=norm)
+        self.DownsampleConv_2 = RecurrentConvLayer(256, 5, 2, "convlstm",
+                                                   norm=norm)
+        self.split1 = nn.Conv(256, (2, 2), strides=(2, 2), padding="VALID")
+        self.split2 = nn.Conv(256, (4, 4), strides=(4, 4), padding="VALID")
         # The reference runs its three same-shape encoder/decoder streams
         # sequentially (u_trans.py:96-105) — a CUDA-stream artifact. On
         # TPU the three streams are one BATCHED computation: nn.vmap
@@ -284,6 +270,54 @@ class EITR(nn.Module):
                           in_axes=(0, 0, None), out_axes=0,
                           variable_axes={"params": 0},
                           split_rngs={"params": True, "dropout": True})
+        # reference fixes dropout at 0.1 (transformer_encoder.py:52);
+        # the kwarg exists for deterministic tests (dropout: 0)
+        drop = float(self.eitr_kwargs.get("dropout", 0.1))
+        self.tri_encoder = tri_enc(3, dropout=drop)
+        self.tri_decoder = tri_dec(2, dropout=drop)
+        self.UpsampleConv_0 = UpsampleConvLayer(128, 5, norm=norm)
+        self.UpsampleConv_1 = UpsampleConvLayer(64, 5, norm=norm)
+        self.UpsampleConv_2 = UpsampleConvLayer(32, 5, norm=norm)
+        self.pred = ConvLayer(1, 1, activation=None, norm=norm)
+
+    def pre(self, x: Array, train: bool = False) -> Tuple[Array, Array]:
+        """Pad to x8 + head conv + encoder-0's input conv (all
+        temporally independent)."""
+        b, h_in, w_in, _ = x.shape
+        if (h_in % 8) or (w_in % 8):
+            x = CropParameters(w_in, h_in, 3).pad(x)
+        h = self.head(x, train=train)
+        return h, self.DownsampleConv_0.apply_conv(h, train=train)
+
+    def spine_step(self, pre0: Array, states: List[Any],
+                   train: bool = False
+                   ) -> Tuple[List[Array], List[Any]]:
+        """The recurrent spine: encoder-0 cell + encoders 1-2."""
+        x, s0 = self.DownsampleConv_0.apply_cell(pre0, states[0])
+        blocks, new_states = [x], [s0]
+        for enc, st in zip((self.DownsampleConv_1, self.DownsampleConv_2),
+                           states[1:]):
+            x, s = enc(x, st, train=train)
+            blocks.append(x)
+            new_states.append(s)
+        return blocks, new_states
+
+    def tail(self, head: Array, blocks: List[Any], train: bool = False,
+             out_hw: Tuple[int, int] = None) -> Dict[str, Array]:
+        """Tokenization + transformer pyramid + upsample decoder + pred
+        (temporally independent given the per-step encoder outputs).
+        `out_hw` crops back when pre() padded (h,w not x8)."""
+        b, h8, w8, d = blocks[-1].shape
+        h, w = h8 * 8, w8 * 8
+        # scale 0: coarsest feature map, 1x1 tokens; scales 1-2:
+        # 2x2 / 4x4 patch convs on the finer maps
+        words0 = blocks[-1].reshape(b, -1, d)
+        words1 = self.split1(blocks[-2]).reshape(b, -1, d)
+        words2 = self.split2(blocks[-3]).reshape(b, -1, d)
+
+        n_tok = words0.shape[1]
+        pos = jnp.asarray(sinusoid_pos_table(n_tok, d))[None]   # f32
+
         # The transformer runs in f32 DELIBERATELY, whatever the compute
         # dtype: it is VPU/relayout-bound (LayerNorm/softmax/dropout
         # chains over small (B,256,256) tokens), and bf16 there measured
@@ -293,26 +327,32 @@ class EITR(nn.Module):
         # The conv encoder/decoder stays in the compute dtype (bf16).
         words = jnp.stack([words0, words1, words2]).astype(jnp.float32)
         pos = pos.astype(jnp.float32)
-        hs_enc = tri_enc(3, name="tri_encoder")(words, pos, train)
+        hs_enc = self.tri_encoder(words, pos, train)
         hs0, hs1 = hs_enc[0], hs_enc[1]
         memory = jnp.stack([hs0, hs0, hs1])
-        hc = tri_dec(2, name="tri_decoder")(hs_enc, memory, train)
+        hc = self.tri_decoder(hs_enc, memory, train)
         hs = ((jnp.sum(hs_enc, axis=0) + jnp.sum(hc, axis=0)) / 6.0
               ).astype(words0.dtype)
         hs = hs.reshape(b, h // 8, w // 8, d)
 
         # skips: blocks[2] (256ch), blocks[1] (128), blocks[0] (64)
         # (reference u_trans.py:107-108)
-        for i, ch in enumerate((128, 64, 32)):
-            hs = UpsampleConvLayer(ch, 5, norm=norm,
-                                   name=f"UpsampleConv_{i}")(
-                hs + blocks[2 - i], train=train)
-        img = ConvLayer(1, 1, activation=None, norm=norm, name="pred")(
-            hs + head, train=train)
+        for i, up in enumerate((self.UpsampleConv_0, self.UpsampleConv_1,
+                                self.UpsampleConv_2)):
+            hs = up(hs + blocks[2 - i], train=train)
+        img = self.pred(hs + head, train=train)
         img = nn.sigmoid(img)
-        if (h_in % 8) or (w_in % 8):
-            img = cp.crop(img)
-        return {"image": img}, new_states
+        if out_hw is not None and (out_hw[0] % 8 or out_hw[1] % 8):
+            img = CropParameters(out_hw[1], out_hw[0], 3).crop(img)
+        return {"image": img}
+
+    def __call__(self, x: Array, state: List[Any], train: bool = False
+                 ) -> Tuple[Dict[str, Array], List[Any]]:
+        h_in, w_in = x.shape[1:3]
+        head, pre0 = self.pre(x, train=train)
+        blocks, new_states = self.spine_step(pre0, state, train=train)
+        out = self.tail(head, blocks, train=train, out_hw=(h_in, w_in))
+        return out, new_states
 
     @nn.nowrap
     def init_state(self, batch: int, height: int, width: int,

@@ -26,10 +26,32 @@ from .unet import (UNet, UNetConfig, UNetFlow, UNetFlowNoRecur,
 Array = jax.Array
 
 
-class E2VIDRecurrent(nn.Module):
+class _SplitForward:
+    """Mixin forwarding the recurrent UNets' forward-split entry points
+    (pre / spine_step / tail — see models/unet.py _RecurrentUNetBase)
+    through the zoo wrapper, so the task interface can hoist the
+    temporally-independent convs out of the time scan. `_net` names the
+    wrapped backbone attribute."""
+    # deliberately unannotated: the flax dataclass transform must not
+    # pick _net up as a module field
+    _net = ""
+
+    def pre(self, x, train: bool = False):
+        return getattr(self, self._net).pre(x, train=train)
+
+    def spine_step(self, pre0, states, train: bool = False):
+        return getattr(self, self._net).spine_step(pre0, states,
+                                                   train=train)
+
+    def tail(self, head, blocks, train: bool = False):
+        return getattr(self, self._net).tail(head, blocks, train=train)
+
+
+class E2VIDRecurrent(_SplitForward, nn.Module):
     """E2VID: recurrent UNet reconstruction.
     Reference: model/model.py:194-223."""
     unet_kwargs: Dict[str, Any]
+    _net = "unetrecurrent"
 
     def setup(self):
         cfg = UNetConfig.from_kwargs(dict(self.unet_kwargs))
@@ -51,10 +73,11 @@ class E2VIDRecurrent(nn.Module):
         return self.unet_kwargs.get("num_encoders", 3)
 
 
-class FlowNet(nn.Module):
+class FlowNet(_SplitForward, nn.Module):
     """E2VID++: recurrent UNet with shared image+flow prediction.
     Reference: model/model.py:111-139."""
     unet_kwargs: Dict[str, Any]
+    _net = "unetflow"
 
     def setup(self):
         cfg = UNetConfig.from_kwargs(dict(self.unet_kwargs))
@@ -74,10 +97,11 @@ class FlowNet(nn.Module):
         return self.unet_kwargs.get("num_encoders", 3)
 
 
-class ColorE2VID(nn.Module):
+class ColorE2VID(_SplitForward, nn.Module):
     """E2VID++ variant emitting a 3-channel (BGR) image.
     Reference: model/model.py:164-192."""
     unet_kwargs: Dict[str, Any]
+    _net = "unetflow"
 
     def setup(self):
         cfg = UNetConfig.from_kwargs(dict(self.unet_kwargs))
@@ -93,10 +117,11 @@ class ColorE2VID(nn.Module):
                                batch, height, width, dtype)
 
 
-class WFlowNet(nn.Module):
+class WFlowNet(_SplitForward, nn.Module):
     """W-Net: dual decoders for image + flow.
     Reference: model/model.py:80-108."""
     unet_kwargs: Dict[str, Any]
+    _net = "wnet"
 
     def setup(self):
         cfg = UNetConfig.from_kwargs(dict(self.unet_kwargs))

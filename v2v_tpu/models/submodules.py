@@ -348,7 +348,13 @@ class ConvGRU(nn.Module):
 
 class RecurrentConvLayer(nn.Module):
     """Strided conv followed by a recurrent cell.
-    Reference: model/submodules.py:99-118."""
+    Reference: model/submodules.py:99-118.
+
+    `apply_conv` / `apply_cell` expose the two halves so the UNet
+    forward-split path (models/unet.py) can run the input conv
+    T-batched outside the time scan and keep only the cell inside it
+    (setup-based so both entry points share the same submodules; the
+    param tree is unchanged: 'conv' + 'recurrent_block')."""
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -356,16 +362,23 @@ class RecurrentConvLayer(nn.Module):
     activation: Optional[str] = "relu"
     norm: Optional[str] = None
 
-    @nn.compact
+    def setup(self):
+        self.conv = ConvLayer(self.features, self.kernel_size, self.stride,
+                              self.activation, self.norm)
+        if self.recurrent_block_type == "convlstm":
+            self.recurrent_block = ConvLSTM(self.features, 3)
+        else:
+            self.recurrent_block = ConvGRU(self.features, 3)
+
     def __call__(self, x: Array, state: Any, train: bool = False
                  ) -> Tuple[Array, Any]:
-        x = ConvLayer(self.features, self.kernel_size, self.stride,
-                      self.activation, self.norm, name="conv")(x, train=train)
-        if self.recurrent_block_type == "convlstm":
-            cell = ConvLSTM(self.features, 3, name="recurrent_block")
-        else:
-            cell = ConvGRU(self.features, 3, name="recurrent_block")
-        return cell(x, state)
+        return self.recurrent_block(self.conv(x, train=train), state)
+
+    def apply_conv(self, x: Array, train: bool = False) -> Array:
+        return self.conv(x, train=train)
+
+    def apply_cell(self, x: Array, state: Any) -> Tuple[Array, Any]:
+        return self.recurrent_block(x, state)
 
     def zero_state(self, batch: int, height: int, width: int,
                    dtype=jnp.float32) -> Any:

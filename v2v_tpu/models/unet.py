@@ -122,40 +122,99 @@ class _Decoders(nn.Module):
         return x
 
 
-class UNetRecurrent(nn.Module):
-    """E2VID backbone. Reference: model/unet.py:252-310."""
+class _RecurrentUNetBase(nn.Module):
+    """Shared structure of the recurrent UNets, split into three entry
+    points so the task interface can restructure the time loop
+    (training/interface.py forward-split path):
+
+        pre(x)                -> (head, pre0)   no temporal dependence:
+                                 head conv + encoder-0's input conv —
+                                 runs T-batched outside the scan
+        spine_step(pre0, st)  -> (blocks, st')  the recurrent spine:
+                                 encoder-0 cell, encoders 1.. (conv+cell)
+                                 — the only part that must scan over time
+        tail(head, blocks)    -> out dict       resblocks + decoders +
+                                 pred: consumes only per-step encoder
+                                 outputs, runs T-batched after the scan
+
+    __call__ composes the three, so the single-step semantics (and the
+    torch parity tests) are unchanged; the param tree is identical to
+    the reference layout (head / encoders_i / resblocks_i / decoders /
+    pred...) via flax list auto-naming."""
     cfg: UNetConfig
 
-    @nn.compact
-    def __call__(self, x: Array, states: List[Any], train: bool = False
-                 ) -> Tuple[Dict[str, Array], List[Any]]:
+    def setup(self):
         cfg = self.cfg
-        x = ConvLayer(cfg.base_num_channels, cfg.kernel_size, 1,
-                      name="head")(x, train=train)
-        head = x
+        self.head = ConvLayer(cfg.base_num_channels, cfg.kernel_size, 1)
+        self.encoders = [
+            RecurrentConvLayer(features, cfg.kernel_size, 2,
+                               cfg.recurrent_block_type, norm=cfg.norm)
+            for features in cfg.encoder_output_sizes]
+        self.resblocks = [ResidualBlock(cfg.max_num_channels, cfg.norm)
+                          for _ in range(cfg.num_residual_blocks)]
+        self._setup_decoders()
+
+    def _setup_decoders(self):
+        raise NotImplementedError
+
+    def pre(self, x: Array, train: bool = False) -> Tuple[Array, Array]:
+        h = self.head(x, train=train)
+        return h, self.encoders[0].apply_conv(h, train=train)
+
+    def spine_step(self, pre0: Array, states: List[Any],
+                   train: bool = False
+                   ) -> Tuple[List[Array], List[Any]]:
         blocks, new_states = [], []
-        for i, features in enumerate(cfg.encoder_output_sizes):
-            x, s = RecurrentConvLayer(
-                features, cfg.kernel_size, 2, cfg.recurrent_block_type,
-                norm=cfg.norm, name=f"encoders_{i}")(x, states[i], train=train)
+        x, s = self.encoders[0].apply_cell(pre0, states[0])
+        blocks.append(x)
+        new_states.append(s)
+        for enc, st in zip(self.encoders[1:], states[1:]):
+            x, s = enc(x, st, train=train)
             blocks.append(x)
             new_states.append(s)
-        for i in range(cfg.num_residual_blocks):
-            x = ResidualBlock(cfg.max_num_channels, cfg.norm,
-                              name=f"resblocks_{i}")(x, train=train)
-        x = _Decoders(cfg, name="decoders")(x, blocks, train=train)
-        img = ConvLayer(cfg.num_output_channels, 1, activation=None,
-                        norm=cfg.norm, name="pred")(cfg.skip_fn(x, head),
-                                                    train=train)
-        act = activation_fn(cfg.final_activation)
-        if act is not None:
-            img = act(img)
-        return {"image": img}, new_states
+        return blocks, new_states
+
+    def _bottleneck(self, blocks: Sequence[Array], train: bool) -> Array:
+        x = blocks[-1]
+        for rb in self.resblocks:
+            x = rb(x, train=train)
+        return x
+
+    def tail(self, head: Array, blocks: Sequence[Array],
+             train: bool = False) -> Dict[str, Array]:
+        raise NotImplementedError
+
+    def __call__(self, x: Array, states: List[Any], train: bool = False
+                 ) -> Tuple[Dict[str, Array], List[Any]]:
+        head, pre0 = self.pre(x, train=train)
+        blocks, new_states = self.spine_step(pre0, states, train=train)
+        return self.tail(head, blocks, train=train), new_states
 
     @nn.nowrap
     def init_state(self, batch: int, height: int, width: int,
                    dtype=jnp.float32) -> List[Any]:
         return _encoder_states(self.cfg, batch, height, width, dtype)
+
+
+class UNetRecurrent(_RecurrentUNetBase):
+    """E2VID backbone. Reference: model/unet.py:252-310."""
+
+    def _setup_decoders(self):
+        cfg = self.cfg
+        self.decoders = _Decoders(cfg)
+        self.pred = ConvLayer(cfg.num_output_channels, 1, activation=None,
+                              norm=cfg.norm)
+
+    def tail(self, head: Array, blocks: Sequence[Array],
+             train: bool = False) -> Dict[str, Array]:
+        cfg = self.cfg
+        x = self._bottleneck(blocks, train)
+        x = self.decoders(x, blocks, train=train)
+        img = self.pred(cfg.skip_fn(x, head), train=train)
+        act = activation_fn(cfg.final_activation)
+        if act is not None:
+            img = act(img)
+        return {"image": img}
 
 
 def _encoder_states(cfg: UNetConfig, batch: int, height: int, width: int,
@@ -171,77 +230,46 @@ def _encoder_states(cfg: UNetConfig, batch: int, height: int, width: int,
     return states
 
 
-class UNetFlow(nn.Module):
+class UNetFlow(_RecurrentUNetBase):
     """E2VID++ backbone: one decoder, 3-channel output split into
     image (1) + flow (2), or 3-channel image when img_3c.
     Reference: model/unet.py:133-194."""
-    cfg: UNetConfig
     img_3c: bool = False
 
-    @nn.compact
-    def __call__(self, x: Array, states: List[Any], train: bool = False
-                 ) -> Tuple[Dict[str, Array], List[Any]]:
+    def _setup_decoders(self):
+        self.decoders = _Decoders(self.cfg)
+        self.pred = ConvLayer(3, 1, activation=None)
+
+    def tail(self, head: Array, blocks: Sequence[Array],
+             train: bool = False) -> Dict[str, Array]:
         cfg = self.cfg
-        x = ConvLayer(cfg.base_num_channels, cfg.kernel_size, 1,
-                      name="head")(x, train=train)
-        head = x
-        blocks, new_states = [], []
-        for i, features in enumerate(cfg.encoder_output_sizes):
-            x, s = RecurrentConvLayer(
-                features, cfg.kernel_size, 2, cfg.recurrent_block_type,
-                norm=cfg.norm, name=f"encoders_{i}")(x, states[i], train=train)
-            blocks.append(x)
-            new_states.append(s)
-        for i in range(cfg.num_residual_blocks):
-            x = ResidualBlock(cfg.max_num_channels, cfg.norm,
-                              name=f"resblocks_{i}")(x, train=train)
-        x = _Decoders(cfg, name="decoders")(x, blocks, train=train)
-        img_flow = ConvLayer(3, 1, activation=None,
-                             name="pred")(cfg.skip_fn(x, head), train=train)
+        x = self._bottleneck(blocks, train)
+        x = self.decoders(x, blocks, train=train)
+        img_flow = self.pred(cfg.skip_fn(x, head), train=train)
         if self.img_3c:
-            out = {"image": img_flow}
-        else:
-            out = {"image": img_flow[..., 0:1], "flow": img_flow[..., 1:3]}
-        return out, new_states
-
-    @nn.nowrap
-    def init_state(self, batch, height, width, dtype=jnp.float32):
-        return _encoder_states(self.cfg, batch, height, width, dtype)
+            return {"image": img_flow}
+        return {"image": img_flow[..., 0:1], "flow": img_flow[..., 1:3]}
 
 
-class WNet(nn.Module):
+class WNet(_RecurrentUNetBase):
     """Dual-decoder recurrent UNet: separate image and flow decoder
     stacks. Reference: model/unet.py:66-130."""
-    cfg: UNetConfig
 
-    @nn.compact
-    def __call__(self, x: Array, states: List[Any], train: bool = False
-                 ) -> Tuple[Dict[str, Array], List[Any]]:
+    def _setup_decoders(self):
+        self.flow_decoders = _Decoders(self.cfg)
+        self.image_decoders = _Decoders(self.cfg)
+        self.flow_pred = ConvLayer(2, 1, activation=None)
+        self.image_pred = ConvLayer(1, 1, activation=None)
+
+    def tail(self, head: Array, blocks: Sequence[Array],
+             train: bool = False) -> Dict[str, Array]:
         cfg = self.cfg
-        x = ConvLayer(cfg.base_num_channels, cfg.kernel_size, 1,
-                      name="head")(x, train=train)
-        head = x
-        blocks, new_states = [], []
-        for i, features in enumerate(cfg.encoder_output_sizes):
-            x, s = RecurrentConvLayer(
-                features, cfg.kernel_size, 2, cfg.recurrent_block_type,
-                norm=cfg.norm, name=f"encoders_{i}")(x, states[i], train=train)
-            blocks.append(x)
-            new_states.append(s)
-        for i in range(cfg.num_residual_blocks):
-            x = ResidualBlock(cfg.max_num_channels, cfg.norm,
-                              name=f"resblocks_{i}")(x, train=train)
-        flow_x = _Decoders(cfg, name="flow_decoders")(x, blocks, train=train)
-        img_x = _Decoders(cfg, name="image_decoders")(x, blocks, train=train)
-        flow = ConvLayer(2, 1, activation=None, name="flow_pred")(
-            cfg.skip_fn(flow_x, head), train=train)
-        img = ConvLayer(1, 1, activation=None, name="image_pred")(
-            cfg.skip_fn(img_x, head), train=train)
-        return {"image": img, "flow": flow}, new_states
-
-    @nn.nowrap
-    def init_state(self, batch, height, width, dtype=jnp.float32):
-        return _encoder_states(self.cfg, batch, height, width, dtype)
+        x = self._bottleneck(blocks, train)
+        flow_x = self.flow_decoders(x, blocks, train=train)
+        img_x = self.image_decoders(x, blocks, train=train)
+        flow = self.flow_pred(cfg.skip_fn(flow_x, head), train=train)
+        img = self.image_pred(cfg.skip_fn(img_x, head), train=train)
+        return {"image": img, "flow": flow}
 
 
 class UNetFlowNoRecur(nn.Module):

@@ -103,6 +103,19 @@ class FlowModelInterface(ModelInterface):
         params, state, events = self._cast_compute(params, state, events,
                                                    train)
 
+        # EVFlowNet is non-recurrent (state == ()): the per-step scan
+        # is pure overhead — run the whole forward batched over B*T
+        # (same math; bigger convs fill the MXU, docs/PERF.md floor
+        # table). BN models keep the scan (live stats are per-step).
+        if (train and self.scan_split and isinstance(state, tuple)
+                and len(state) == 0 and "batch_stats" not in params):
+            b, t = events.shape[:2]
+            flat = events.reshape(b * t, *events.shape[2:])
+            out, _ = self.model.apply(params, flat, (), train=train)
+            flows = out["flow"].reshape(b, t, *out["flow"].shape[1:])
+            flows = flows.astype(jnp.float32)
+            return crop_from_multiple(flows, hw), state, {}
+
         def apply_fn(variables, carry, voxel, mutable):
             if mutable:
                 (out, carry), mut = self.model.apply(

@@ -150,6 +150,11 @@ class ModelInterface:
         #           only fits chips with headroom beyond 16 GB once
         #           LPIPS/TC/simulator memory is added.
         self.remat_policy = configs.get("remat_policy", "full")
+        # forward-split: hoist temporally-independent convs out of the
+        # train-time scan (see forward_sequence; default on — set
+        # scan_split: false in the module config to force the original
+        # full-body scan)
+        self.scan_split = configs.get("scan_split", True)
         self.pred_channels = configs.get("pred_channels", 1)
         self.is_nernet = configs.get("is_nernet", False)
         self._lpips_train: Optional[LPIPS] = None
@@ -231,6 +236,45 @@ class ModelInterface:
                 gt_frames = gt_frames.astype(dtype)
 
         use_hyper = hyper_beta is not None and gt_frames is not None
+
+        if train and self.compute_dtype:
+            state = jax.tree.map(
+                lambda s: s.astype(jnp.dtype(self.compute_dtype)), state)
+
+        # Forward-split path: hoist the temporally-independent convs
+        # (head + encoder-0 input conv, resblocks + decoders + pred) out
+        # of the time scan and run them batched over B*T — the scan
+        # keeps only the recurrent spine. Same math, reassociated: at
+        # the flagship shape the tail's decoder convs go from B=12
+        # (18-73 TF/s isolated, docs/PERF.md floor table) to B=480
+        # (near peak), and the per-scan-step fusion overhead shrinks.
+        # Gated off for BN models (live batch statistics are per-step)
+        # and the HyperE2VID curriculum (its prediction feeds back).
+        if (train and not use_hyper and self.scan_split
+                and "batch_stats" not in params
+                and hasattr(self.model, "spine_step")):
+            imgs, final_state = self._forward_split(
+                params, events, state, train, dropout_rng)
+            imgs = crop_from_multiple(imgs, hw)
+            imgs = imgs.astype(jnp.float32)
+            if return_updates:
+                return imgs, final_state, {}
+            return imgs, final_state
+
+        # Non-recurrent models (state == (), e.g. FlowNetNoRecur): the
+        # scan is pure overhead — run the whole forward batched over B*T
+        if (train and not use_hyper and self.scan_split
+                and "batch_stats" not in params
+                and isinstance(state, tuple) and len(state) == 0):
+            b, t = events.shape[:2]
+            flat = events.reshape(b * t, *events.shape[2:])
+            out, _ = self.model.apply(params, flat, (), train=train)
+            imgs = out["image"].reshape(b, t, *out["image"].shape[1:])
+            imgs = crop_from_multiple(imgs.astype(jnp.float32), hw)
+            if return_updates:
+                return imgs, state, {}
+            return imgs, state
+
         if use_hyper:
             gt_pad, _ = pad_to_multiple(gt_frames, 16)
             xs = (jnp.swapaxes(events, 0, 1), jnp.swapaxes(gt_pad, 0, 1))
@@ -269,9 +313,6 @@ class ModelInterface:
                 return (out["image"], new_state), mut
             return out["image"], new_state
 
-        if train and self.compute_dtype:
-            state = jax.tree.map(
-                lambda x: x.astype(jnp.dtype(self.compute_dtype)), state)
         if use_rng:
             state = (state, dropout_rng)   # after the dtype cast — keys
         final_state, imgs, updates = scan_recurrent(
@@ -284,6 +325,56 @@ class ModelInterface:
         if return_updates:
             return imgs, final_state, updates
         return imgs, final_state
+
+    def _forward_split(self, params, events: Array, state: Any,
+                       train: bool, dropout_rng: Optional[Array] = None
+                       ) -> Tuple[Array, Any]:
+        """Forward with the time scan reduced to the recurrent spine
+        (see forward_sequence). events: (B,T,ph,pw,c) already padded +
+        cast. Each of the three stages is its own remat region: pre and
+        tail recompute their internals in the backward (their outputs
+        are stored anyway as region residuals), the spine keeps the
+        configured BPTT remat_policy.
+
+        Stochastic layers (EITR's transformer dropout) live in the tail,
+        which runs ONCE over the B*T batch — a single key draws the
+        whole mask, iid per (step, position) element exactly like the
+        per-step keys of the scan path (same distribution, different
+        stream)."""
+        b, t = events.shape[:2]
+        flat = events.reshape(b * t, *events.shape[2:])
+
+        def pre_fn(ev):
+            return self.model.apply(params, ev, train=train, method="pre")
+
+        def step(carry, x):
+            blocks, new_states = self.model.apply(
+                params, x, carry, train=train, method="spine_step")
+            return new_states, tuple(blocks)
+
+        if train and dropout_rng is not None:
+            def tail_fn(h, bl, key):
+                return self.model.apply(
+                    params, h, list(bl), train=train, method="tail",
+                    rngs={"dropout": key})["image"]
+        else:
+            def tail_fn(h, bl, key=None):
+                return self.model.apply(params, h, list(bl), train=train,
+                                        method="tail")["image"]
+
+        if train:
+            pre_fn = jax.checkpoint(pre_fn)
+            step = jax.checkpoint(step,
+                                  policy=_remat_policy(self.remat_policy))
+            tail_fn = jax.checkpoint(tail_fn)
+
+        head, pre0 = pre_fn(flat)
+        pre0_t = jnp.swapaxes(pre0.reshape(b, t, *pre0.shape[1:]), 0, 1)
+        final_state, zs = jax.lax.scan(step, state, pre0_t)
+        blocks = tuple(
+            jnp.swapaxes(z, 0, 1).reshape(b * t, *z.shape[2:]) for z in zs)
+        imgs_flat = tail_fn(head, blocks, dropout_rng)
+        return imgs_flat.reshape(b, t, *imgs_flat.shape[1:]), final_state
 
     def forward_sequence_nernet(self, params, events_list, state):
         """NerNet raw-event path (train_utils.py:350-378): B=1, a python

@@ -55,6 +55,44 @@ def test_pallas_black_video_finite():
     assert np.abs(out).sum() == 0
 
 
+def test_pallas_pads_nonaligned_shapes_to_lanes():
+    """Round-4 gate fix: shapes off the (8, 128) lane grid (e.g. a 96x160
+    user crop) run the kernel via internal edge-padding and count
+    slicing — exact vs the golden scan on the unpadded region — instead
+    of silently dropping to the ~60x-slower scan simulator."""
+    for h, w in [(96, 160), (30, 100)]:
+        videos = _videos(b=2, n=7, h=h, w=w, seed=3)
+        b = videos.shape[0]
+        out = np.asarray(simulate_batch_pallas(
+            jnp.asarray(videos), jnp.zeros((b,), jnp.int32),
+            _batch_params(b), noise_free=True, interpret=INTERPRET))
+        assert out.shape == (b, 6, h, w)
+        for i in range(b):
+            want = golden_video_to_voxel(videos[i], 0.3, 0.25)
+            diff = np.abs(out[i] - want)
+            assert (diff > 0).mean() < 1e-4, (h, w, (diff > 0).mean())
+            assert diff.max() <= 1.0
+
+
+def test_pallas_gate_accepts_nonaligned_and_warns_on_infeasible(
+        monkeypatch):
+    """_pallas_ok must accept any shape the padded kernel can tile (the
+    old gate rejected h%8/w%128) and refuse LOUDLY when no VMEM row tile
+    fits the padded width."""
+    import warnings as _w
+    from v2v_tpu.ops.voxel import SimConfig
+    from v2v_tpu.training import steps as steps_mod
+    monkeypatch.setattr(steps_mod.jax, "default_backend", lambda: "tpu")
+    cfg = SimConfig()
+    ok_video = jnp.zeros((1, 3, 96, 160), jnp.uint8)
+    assert steps_mod._pallas_ok(ok_video, cfg)
+    wide = jnp.zeros((1, 3, 3, 20000), jnp.uint8)   # no tile*w <= 16384
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        assert not steps_mod._pallas_ok(wide, cfg)
+    assert any("scan simulator" in str(c.message) for c in caught)
+
+
 @needs_tpu_prng
 def test_pallas_noise_statistics():
     """Noise-on path: event rate from pure noise should match theory

@@ -183,10 +183,25 @@ def simulate_batch_pallas(
     uint8 video is consumed directly (converted per frame in VMEM) —
     casting to f32 up front would quadruple the kernel's HBM read
     traffic and add a full materialization pass.
+
+    Non-lane-aligned shapes (H not a multiple of 8, W not a multiple of
+    128) are edge-padded up front and the counts sliced back: each pixel
+    simulates independently, so padded pixels are discarded rows, and
+    the kernel is VPU-latency-bound, not bandwidth-bound (docs/PERF.md),
+    so the padding costs only its area fraction — vs a ~60x slower jnp
+    scan fallback a silent gate used to impose on e.g. 160^2 crops.
     """
     if video.dtype not in (jnp.uint8, jnp.float32):
         video = video.astype(jnp.float32)
     b, n, h, w = video.shape
+    pad_h, pad_w = -h % 8, -w % 128
+    if pad_h or pad_w:
+        video = jnp.pad(video, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)),
+                        mode="edge")
+        counts = simulate_batch_pallas(
+            video, seeds, params, tile_h=tile_h, noise_free=noise_free,
+            interpret=interpret, fast_gaussian=fast_gaussian)
+        return counts[:, :, :h, :w]
     if tile_h is None:
         tile_h = _auto_tile_h(h, w)
     assert h % tile_h == 0, (h, tile_h)

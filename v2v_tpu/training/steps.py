@@ -31,10 +31,24 @@ Array = jax.Array
 def _pallas_ok(video: Array, sim_cfg: SimConfig) -> bool:
     if sim_cfg.put_noise_external:
         return False           # kernel implements potential-noise only
-    h, w = video.shape[2:4]
-    if h % 8 or w % 128:
+    if jax.default_backend() in ("cpu", "gpu"):
         return False
-    return jax.default_backend() not in ("cpu", "gpu")
+    # the kernel edge-pads H/W to (8, 128) lane multiples itself; the
+    # only remaining shape constraint is a feasible VMEM row tile for
+    # the PADDED width — fall back loudly, never silently (the scan
+    # simulator is ~60x slower synthesis, docs/PERF.md)
+    from ..ops.voxel_pallas import _auto_tile_h
+    h, w = video.shape[2:4]
+    try:
+        _auto_tile_h(h + (-h % 8), w + (-w % 128))
+    except ValueError:
+        import warnings
+        warnings.warn(
+            f"synthesize_batch: no feasible VMEM tile for crop "
+            f"{h}x{w} — falling back to the jnp scan simulator "
+            f"(~60x slower synthesis)", stacklevel=3)
+        return False
+    return True
 
 
 def synthesize_batch(video: Array, keys: Array, sim_cfg: SimConfig,

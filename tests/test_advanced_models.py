@@ -296,3 +296,39 @@ def test_eitr_chunked_eval_attention_under_stream_vmap():
         eitr_mod.MultiheadAttention.chunk_threshold = old
     np.testing.assert_allclose(np.asarray(out1["image"]),
                                np.asarray(out2["image"]), atol=2e-5)
+
+
+def test_dynamic_conv_reorder_matches_unfold_einsum_oracle():
+    """Round-4 DynamicConv reordering (models/hyper.py): applying the 1x1
+    compositional contraction BEFORE the atom-weighted shift-sum must
+    equal the reference's unfold-patches -> atom einsum -> 1x1 conv order
+    (hyper_dynamic.py:60-92) — the channel contraction commutes with
+    spatial shifts. Oracle implemented here verbatim from the old code."""
+    from v2v_tpu.models.hyper import DynamicConv
+
+    k, m, cin, cout = 5, 6, 16, 8
+    b, h, w = 2, 12, 20
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+    atoms = jnp.asarray(rng.randn(b, h, w, m, k * k), jnp.float32)
+
+    mod = DynamicConv(cin, cout, k, m)
+    params = mod.init(jax.random.PRNGKey(0), x, atoms)
+    got = mod.apply(params, x, atoms)
+
+    # oracle: torch-unfold patches + einsum + 1x1 composition conv
+    kernel = params["params"]["compositional_coefficients"]
+    bias = params["params"]["bias"]
+    p = k // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    patches = jnp.stack(
+        [xp[:, i:i + h, j:j + w, :] for i in range(k) for j in range(k)],
+        axis=-1)                                       # (B,H,W,C,k*k)
+    inter = jnp.einsum("bhwml,bhwcl->bhwcm", atoms, patches)
+    inter = inter.reshape(b, h, w, cin * m)
+    want = jax.lax.conv_general_dilated(
+        inter, kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

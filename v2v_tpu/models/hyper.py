@@ -96,8 +96,24 @@ class DynamicAtomGeneration(nn.Module):
 
 
 class DynamicConv(nn.Module):
-    """Per-pixel dynamic convolution via shifted slices + einsum + 1x1
-    composition (hyper_dynamic.py:60-92)."""
+    """Per-pixel dynamic convolution (hyper_dynamic.py:60-92).
+
+    The reference (and the round-1..3 port) materializes unfold patches
+    (B,H,W,C,k^2) and contracts them with the atoms BEFORE the 1x1
+    composition conv. Round 4 reorders the contractions using the fact
+    that the 1x1's channel contraction commutes with spatial shifts:
+
+        out_o = sum_{m,l} atoms_{m,l} * shift_l( x . K[:, m, o] )
+
+    i.e. FIRST one big MXU matmul x(C) -> z(M*C_out) with the SAME
+    `compositional_coefficients` parameter (reshaped view), THEN the
+    atom-weighted k^2 shift-sum on the (smaller) z. Algebraically
+    identical (floating-point reassociation only), same param tree, and
+    it never materializes the k^2 patch tensor — at the flagship hyper
+    shape that tensor was 157 MB per scan step (x40 steps, x backward
+    remat) of pure HBM traffic, and the ragged (6x25)x(25x256) per-pixel
+    einsum it fed could not fill the MXU. Measured on-chip: see
+    docs/PERF.md round 4."""
     in_channels: int
     out_channels: int
     kernel_size: int = 5
@@ -108,24 +124,29 @@ class DynamicConv(nn.Module):
         k = self.kernel_size
         p = k // 2
         b, h, w, c = x.shape
-        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-        # patches in torch-unfold order: row-major over the kxk window
-        patches = jnp.stack(
-            [xp[:, i:i + h, j:j + w, :] for i in range(k) for j in range(k)],
-            axis=-1)                                   # (B,H,W,C,k*k)
-        inter = jnp.einsum("bhwml,bhwcl->bhwcm", atoms, patches,
-                           preferred_element_type=jnp.float32)
-        # back to the compute dtype after the f32-accumulated einsum
-        # (under bf16 training the composition conv kernel is bf16)
-        inter = inter.reshape(b, h, w, c * self.num_atoms).astype(x.dtype)
+        m, co = self.num_atoms, self.out_channels
         kernel = self.param(
             "compositional_coefficients",
             nn.initializers.kaiming_normal(),
             (1, 1, self.in_channels * self.num_atoms, self.out_channels))
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-        return jax.lax.conv_general_dilated(
-            inter, kernel, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        # (1,1,C*M,O) is c-major over (c,m) — the unfold/einsum layout the
+        # converter ships — so the reshape view is (C, M*O) exactly
+        k2 = kernel.reshape(c, m * co)
+        z = jnp.dot(x.reshape(b * h * w, c), k2,
+                    preferred_element_type=jnp.float32)
+        z = z.reshape(b, h, w, m, co).astype(x.dtype)
+        zp = jnp.pad(z, ((0, 0), (p, p), (p, p), (0, 0), (0, 0)))
+        # atoms l-index is torch-unfold row-major over the kxk window;
+        # shift_l(z)[y] = zp[y + l_offset] reproduces the patch indexing
+        out = jnp.zeros((b, h, w, co), jnp.float32)
+        for i in range(k):
+            for j in range(k):
+                a = atoms[..., i * k + j]              # (B,H,W,M)
+                out = out + jnp.einsum(
+                    "bhwm,bhwmo->bhwo", a, zp[:, i:i + h, j:j + w],
+                    preferred_element_type=jnp.float32)
+        return out.astype(x.dtype) + bias
 
 
 class DynamicUpsampleLayer(nn.Module):

@@ -81,12 +81,79 @@ def test_release_kit_with_converted_checkpoint(tmp_path):
 
 def test_release_kit_random_init_dry_run(tmp_path):
     """Without checkpoints the kit still runs the drivers at random init
-    (--allow-random-init) and exits 0 with a metric summary."""
+    (--allow-random-init) and exits 0 with a metric summary — marked
+    NOT GATED so rc 0 cannot be misread as acceptance (advisor r3)."""
     assets = _make_assets(tmp_path, with_ckpt=False)
     proc, out = _run_kit(tmp_path, assets, ["--allow-random-init"])
     text = proc.stdout.decode() + proc.stderr.decode()
     assert proc.returncode == 0, text[-4000:]
     assert "RANDOM INIT dry run" in text
     assert "release validation summary" in text
+    assert "NOT GATED (random init)" in text
+    assert "exit code certifies ONLY the 0 gated" in text
     assert (out / "tensorboard_logs" / "release_e2vid++"
             / "test_metrics.txt").exists()
+
+
+def test_fetch_weights_checksum_and_placement(tmp_path):
+    """--fetch self-provisioning: the injectable downloader is called
+    for every missing manifest file, fetched bytes are sha256-gated
+    against the torchvision filename hash, bad checksums are DISCARDED,
+    network failures degrade to the offline behavior, and present files
+    are never re-downloaded."""
+    import hashlib
+    from v2v_tpu.eval.release import fetch_weights
+
+    payload = b"fake-weights"
+    digest = hashlib.sha256(payload).hexdigest()
+    manifest = {
+        "good.pth": ("https://example/good.pth", digest[:8]),
+        "bad.pth": ("https://example/bad.pth", "00000000"),
+        "down.pth": ("https://example/down.pth", digest[:8]),
+        "have.pth": ("https://example/have.pth", "ffffffff"),
+    }
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    (wdir / "have.pth").write_bytes(b"already here")
+
+    calls = []
+
+    def fake_downloader(url, dest):
+        calls.append(url)
+        if "down" in url:
+            raise OSError("no route to host")
+        with open(dest, "wb") as f:
+            f.write(payload)
+
+    st = fetch_weights(str(wdir), downloader=fake_downloader,
+                       manifest=manifest)
+    assert st == {"good.pth": "fetched", "bad.pth": "checksum-mismatch",
+                  "down.pth": "failed", "have.pth": "present"}
+    assert (wdir / "good.pth").read_bytes() == payload
+    assert not (wdir / "bad.pth").exists()       # discarded, not trusted
+    assert not (wdir / "down.pth").exists()
+    assert (wdir / "have.pth").read_bytes() == b"already here"
+    assert "https://example/have.pth" not in calls
+
+    # idempotent second call: nothing re-fetched
+    calls.clear()
+    st2 = fetch_weights(str(wdir), downloader=fake_downloader,
+                        manifest={"good.pth": manifest["good.pth"]})
+    assert st2 == {"good.pth": "present"} and calls == []
+
+
+def test_fetch_manifest_covers_every_aux_weight():
+    """The manifest must provision exactly the files the loaders look
+    up: LPIPS trunks (losses/lpips.py:_BACKBONE_FILES) + RAFT teachers
+    (training/raft.py:_BACKBONES) — so a networked machine-day needs
+    only checkpoints/ + h5/."""
+    from v2v_tpu.eval.release import WEIGHT_MANIFEST
+    from v2v_tpu.losses.lpips import _BACKBONE_FILES
+    from v2v_tpu.training.raft import _BACKBONES
+    need = set(_BACKBONE_FILES.values()) | set(_BACKBONES.values())
+    assert need == set(WEIGHT_MANIFEST)
+    for dest, (url, prefix) in WEIGHT_MANIFEST.items():
+        assert url.startswith("https://download.pytorch.org/models/")
+        assert len(prefix) == 8 and int(prefix, 16) >= 0
+        # torchvision convention: the prefix travels in the filename
+        assert prefix in url

@@ -232,9 +232,14 @@ def main():
               f"{e['kind'][:4]} {str(e['lhs_shape']):24s}"
               f"{str(e['rhs_shape']):22s} -> {rate / 1e12:5.1f} TF/s "
               f"({contrib * 1e3:6.1f} ms){note}", flush=True)
+    from v2v_tpu.utils.flops import saw_while
+    approx = (" [APPROXIMATE: a lax.while_loop body was counted once — "
+              "unknown trip count undercounts FLOPs]" if saw_while()
+              else "")
     print(f"FLOOR {name}: {floor * 1e3:.0f} ms/step "
           f"(tail at practical peak {peak / 1e12:.0f} TF/s); "
-          f"compare measured ms/step from bench_full_step.py", flush=True)
+          f"compare measured ms/step from bench_full_step.py{approx}",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -98,9 +98,17 @@ def _prefetch_to_device(iterator, mesh, size: int = 2):
 
 
 class _Writer:
-    """TensorBoard writer (tensorboardX), no-op if unavailable."""
+    """TensorBoard writer (tensorboardX), no-op if unavailable.
 
-    def __init__(self, log_dir: str):
+    `enabled=False` makes every method a no-op — multi-host runs
+    construct the writer on every process but only rank 0 may write to
+    the shared log dir (same convention as checkpoints/val_loss.txt;
+    duplicate event files corrupt the TB timeline)."""
+
+    def __init__(self, log_dir: str, enabled: bool = True):
+        self.w = None
+        if not enabled:
+            return
         os.makedirs(log_dir, exist_ok=True)
         try:
             from tensorboardX import SummaryWriter
@@ -154,7 +162,7 @@ def main(configs: Dict[str, Any], max_batches_per_epoch: Optional[int] = None,
     checkpoint_path = last_ckpt_path(experiment_name, root)
 
     log_dir = os.path.join(root, "tensorboard_logs", experiment_name)
-    writer = _Writer(log_dir)
+    writer = _Writer(log_dir, enabled=process_index == 0)
     val_loss_txt = os.path.join(log_dir, "val_loss.txt")
     ckpt_dir = os.path.join(root, "checkpoints", experiment_name)
     os.makedirs(ckpt_dir, exist_ok=True)

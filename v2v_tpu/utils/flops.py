@@ -20,9 +20,32 @@ VPU work is not comparable against the matmul peak and is omitted.
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Any
 
 from jax.extend import core as jex_core  # jaxpr structure access
+
+_warned_while = False
+
+
+def _warn_while() -> None:
+    """One-time warning: a lax.while_loop body is counted ONCE (trip
+    count unknown at trace time), so any FLOP total that includes one is
+    a lower bound of unknown tightness — roofline "FLOOR"s derived from
+    it must be annotated approximate (scripts/roofline_floor.py checks
+    `saw_while()`)."""
+    global _warned_while
+    if not _warned_while:
+        _warned_while = True
+        warnings.warn(
+            "count_flops: lax.while_loop encountered — its body is "
+            "counted once (unknown trip count); the FLOP total is an "
+            "approximate lower bound", stacklevel=3)
+
+
+def saw_while() -> bool:
+    """True if any traversal in this process met a while primitive."""
+    return _warned_while
 
 
 def _dot_flops(eqn) -> float:
@@ -59,6 +82,7 @@ def count_flops(jaxpr: Any) -> float:
         elif name == "while":
             # unknown trip count: count the body once (fori_loop with
             # static bounds lowers to scan, so this is rare here)
+            _warn_while()
             total += count_flops(eqn.params["body_jaxpr"])
         elif name == "cond":
             total += max((count_flops(b) for b in eqn.params["branches"]),
@@ -96,6 +120,7 @@ def count_flops_by_shape(jaxpr: Any, hist: dict | None = None,
             count_flops_by_shape(eqn.params["jaxpr"], hist,
                                  mult * eqn.params["length"])
         elif name == "while":
+            _warn_while()
             count_flops_by_shape(eqn.params["body_jaxpr"], hist, mult)
         elif name == "cond":
             for b in eqn.params["branches"]:
@@ -152,6 +177,7 @@ def collect_mxu_ops(jaxpr: Any, out: dict | None = None,
             collect_mxu_ops(eqn.params["jaxpr"], out,
                             mult * eqn.params["length"])
         elif name == "while":
+            _warn_while()
             collect_mxu_ops(eqn.params["body_jaxpr"], out, mult)
         elif name == "cond":
             for b in eqn.params["branches"]:

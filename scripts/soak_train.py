@@ -51,8 +51,12 @@ def make_corpus(root, n_videos, frames, h, w):
     return make_videos(root, n_videos=n_videos, frames=frames, h=h, w=w)
 
 
-def make_config(workdir, corpus_root, video_list, val_h5_list, smoke):
-    """Flagship module block verbatim; two stages; biting StepLR."""
+def make_config(workdir, corpus_root, video_list, val_h5_list, smoke,
+                scale=1):
+    """Flagship module block verbatim; two stages; biting StepLR.
+    `scale` multiplies the stage epoch counts (and the StepLR period)
+    for long soaks: scale=5 -> 30+20 epochs = ~10,500 steps at the
+    standard corpus (210 steps/epoch)."""
     from v2v_tpu.config import load_yaml
     base = load_yaml(os.path.join(REPO, "configs",
                                   "train_v2v_e2vid_10k.yaml"))
@@ -108,10 +112,10 @@ def make_config(workdir, corpus_root, video_list, val_h5_list, smoke):
         "module": base["module"],
         # stage1: 6 epochs, LR halves at epoch 3 (the LR boundary);
         # stage2: fresh optimizer at a lower LR (the stage boundary)
-        "train_stages": [stage("stage1", 2 if smoke else 6,
-                               1e-4, 1 if smoke else 3, 0.5),
-                         stage("stage2", 2 if smoke else 4,
-                               3e-5, 10, 1.0)],
+        "train_stages": [stage("stage1", 2 if smoke else 6 * scale,
+                               1e-4, 1 if smoke else 3 * scale, 0.5),
+                         stage("stage2", 2 if smoke else 4 * scale,
+                               3e-5, 10 * scale, 1.0)],
     }
     path = os.path.join(workdir, "soak_config.yaml")
     with open(path, "w") as f:
@@ -169,6 +173,56 @@ def run_phase(cmd, cwd, log_path, kill_after_epochs=None,
         time.sleep(poll_s)
 
 
+def quality_probe(wd, n_ckpts=None):
+    """Score every ckpt_paths checkpoint on the FIXED val clip with
+    MSE/SSIM — LPIPS-free metrics, so the trend is meaningful even with
+    the random-feature LPIPS fallback this box forces (the val loss is
+    not). Returns [(epoch, mse, ssim)] oldest-first."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2v_tpu.config import load_yaml
+    from v2v_tpu.eval.metrics import mse as mse_fn, ssim as ssim_fn
+    from v2v_tpu.training.checkpoint import all_ckpt_paths, load_params_only
+    from v2v_tpu.training.interface import ModelInterface
+    from v2v_tpu.training.steps import make_eval_step
+    from v2v_tpu.data.h5 import TestH5Dataset
+
+    cfg = load_yaml(os.path.join(wd, "soak_config.yaml"))
+    iface = ModelInterface(cfg["module"])
+    ds_cfg = cfg["train_stages"][0]["dataset"]["val"][0]
+    ds = TestH5Dataset(os.path.join(wd, "val_seq.h5"), dict(ds_cfg))
+    item = ds[0]
+    events = jnp.asarray(item["events"])[None]       # (1,T,H,W,bins)
+    frames = np.asarray(item["frame"])[None]
+    b, _, h, w, _ = events.shape
+    params0, _ = iface.init(jax.random.PRNGKey(0), b, h, w)
+    eval_step = make_eval_step(iface)
+    paths = all_ckpt_paths("soak_e2vid", wd)
+    if n_ckpts:
+        paths = paths[-n_ckpts:]
+    out = []
+    for path in paths:
+        # the training child runs with cwd=wd, so the ckpt_paths file
+        # records paths relative to wd ("./checkpoints/...")
+        if not os.path.isabs(path):
+            path = os.path.join(wd, path)
+        params = load_params_only(path, params0)
+        state = iface.init_state(b, h, w)
+        pred, _ = eval_step(params, events, state)
+        pred = np.asarray(pred, np.float32)
+        m = float(np.mean([mse_fn(pred[0, t], frames[0, t])
+                           for t in range(pred.shape[1])]))
+        s = float(np.mean([ssim_fn(pred[0, t, ..., 0] * 2 - 1,
+                                   frames[0, t, ..., 0] * 2 - 1)
+                           for t in range(pred.shape[1])]))
+        ep = int(re.search(r"epoch_(\d+)", path).group(1))
+        out.append((ep, m, s))
+        print(f"quality probe: epoch {ep} MSE={m:.5f} SSIM={s:.4f}",
+              flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
@@ -182,6 +236,12 @@ def main():
                          "workdir's run to completion and evaluate "
                          "(continuation after a driver/timeout abort; "
                          "the log must already contain the kill+resume)")
+    ap.add_argument("--scale", type=int, default=1,
+                    help="multiply stage epochs (5 -> ~10.5k steps)")
+    ap.add_argument("--malloc-arena-max", type=int, default=None,
+                    help="set MALLOC_ARENA_MAX for the train child "
+                         "(glibc per-thread arena retention mitigation "
+                         "— scripts/diag_rss.py names the owner)")
     args = ap.parse_args()
     wd = os.path.abspath(args.workdir)
     os.makedirs(wd, exist_ok=True)
@@ -210,7 +270,8 @@ def main():
     with open(val_list, "w") as f:
         f.write(val_h5 + "\n")
 
-    cfg_path = make_config(wd, corpus, video_list, val_list, args.smoke)
+    cfg_path = make_config(wd, corpus, video_list, val_list, args.smoke,
+                           scale=args.scale)
     log_path = os.path.join(wd, "train_log.txt")
     rss = []
     wdir = os.environ.get("V2V_WEIGHTS_DIR", "pretrained")
@@ -218,6 +279,8 @@ def main():
         # no pretrained teacher on this box: random-init fallback
         # (identical compute/memory; loss self-consistent only)
         os.environ["V2V_RANDOM_TEACHER"] = "1"
+    if args.malloc_arena_max is not None:
+        os.environ["MALLOC_ARENA_MAX"] = str(args.malloc_arena_max)
     cmd = [sys.executable, "-u", os.path.join(REPO, "train.py"), cfg_path]
 
     poll = 0.5 if args.smoke else 5.0
@@ -267,7 +330,16 @@ def main():
     rss_vals = [v for (_, v) in rss]
     rss_peak = max(rss_vals)
     rss_p1 = max(rss_vals[:max(1, len(rss_vals) // 4)])
+    quality = quality_probe(wd)
+    if len(quality) >= 3:
+        # LPIPS-free trend: the fixed clip's MSE must improve start->end
+        q_first = np.mean([m for (_, m, _) in quality[:2]])
+        q_last = np.mean([m for (_, m, _) in quality[-2:]])
+        assert q_last < q_first, \
+            f"probe MSE did not improve: {q_first:.5f} -> {q_last:.5f}"
     summary = {
+        "quality_by_epoch": quality,
+        "malloc_arena_max": args.malloc_arena_max,
         "rss_series": rss[::6],        # ~30s grain, phase-relative time
         "total_steps": total_steps,
         "epochs": len(epochs),

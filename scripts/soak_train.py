@@ -242,6 +242,15 @@ def main():
                     help="set MALLOC_ARENA_MAX for the train child "
                          "(glibc per-thread arena retention mitigation "
                          "— scripts/diag_rss.py names the owner)")
+    ap.add_argument("--segment-epochs", type=int, default=None,
+                    help="kill+resume the train child every N epochs. "
+                         "Bounds host RSS on the axon relay, whose "
+                         "client natively retains EVERY host->device "
+                         "transfer buffer (diag_rss.py: +39.5 MB/step, "
+                         "1:1 with bytes shipped, malloc_trim-immune) — "
+                         "RSS ceiling ~= baseline + N*steps_per_epoch*"
+                         "batch_MB per segment. Also exercises resume "
+                         "at every boundary.")
     args = ap.parse_args()
     wd = os.path.abspath(args.workdir)
     os.makedirs(wd, exist_ok=True)
@@ -294,8 +303,30 @@ def main():
             f"phase 1 ended rc={rc1} killed={killed}"
         print("phase 1 killed as planned; phase 2: resume to completion",
               flush=True)
-    rc2, _ = run_phase(cmd, wd, log_path, rss_samples=rss, poll_s=poll)
-    assert rc2 == 0, f"resume run exited rc={rc2}"
+    n_segments = 0
+    if args.segment_epochs:
+        # segmented run-to-completion: each segment is a fresh process
+        # resumed from the last checkpoint, so the relay client's
+        # per-transfer host retention resets with it
+        while True:
+            text = (open(log_path, errors="replace").read()
+                    if os.path.exists(log_path) else "")
+            done = len(EPOCH_RE.findall(text))
+            rc2, killed = run_phase(
+                cmd, wd, log_path,
+                kill_after_epochs=done + args.segment_epochs,
+                rss_samples=rss, poll_s=poll)
+            if not killed:
+                assert rc2 == 0, f"segmented run exited rc={rc2}"
+                break
+            n_segments += 1
+            print(f"segment {n_segments}: restarted after epoch "
+                  f"{done + args.segment_epochs} (relay-RSS cap)",
+                  flush=True)
+    else:
+        rc2, _ = run_phase(cmd, wd, log_path, rss_samples=rss,
+                           poll_s=poll)
+        assert rc2 == 0, f"resume run exited rc={rc2}"
 
     # ---- parse + assert -------------------------------------------------
     text = open(log_path, errors="replace").read()
@@ -340,6 +371,8 @@ def main():
     summary = {
         "quality_by_epoch": quality,
         "malloc_arena_max": args.malloc_arena_max,
+        "segment_epochs": args.segment_epochs,
+        "n_segments": n_segments,
         "rss_series": rss[::6],        # ~30s grain, phase-relative time
         "total_steps": total_steps,
         "epochs": len(epochs),

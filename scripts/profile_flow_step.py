@@ -65,6 +65,11 @@ def _perturb(x, i):
         x.dtype, jnp.floating) else x
 
 
+def _row(rows, item):
+    rows.append(item)
+    print(f"  [row] {item[0]:<52s} {item[1] * 1e3:9.2f} ms", flush=True)
+
+
 def profile_eraft(smoke, iters):
     from v2v_tpu.models.eraft import (ERAFT, convex_upsample,
                                       correlation_pyramid,
@@ -105,7 +110,7 @@ def profile_eraft(smoke, iters):
         return v + 1e-6 * g.astype(v.dtype) + 1e-6 * val.astype(v.dtype)
 
     t_enc_fb = timed_chain(enc_fb, vox_b, max(2, iters // 2))
-    rows.append(("fnet encode (x%d fwd + x%d remat fwd+bwd)"
+    _row(rows, ("fnet encode (x%d fwd + x%d remat fwd+bwd)"
                  % (t + 1, t + 1),
                  (t + 1) * (t_enc + t_enc_fb)))
 
@@ -127,7 +132,7 @@ def profile_eraft(smoke, iters):
         return v + 1e-6 * g.astype(v.dtype) + 1e-6 * val.astype(v.dtype)
 
     t_cnet_fb = timed_chain(cnet_fb, vox_b, max(2, iters // 2))
-    rows.append((f"cnet context (x{t} fwd + x{t} remat fwd+bwd)",
+    _row(rows, (f"cnet context (x{t} fwd + x{t} remat fwd+bwd)",
                  t * (t_cnet + t_cnet_fb)))
 
     # --- correlation pyramid: once per pair, rematted
@@ -147,7 +152,7 @@ def profile_eraft(smoke, iters):
         return f + 1e-6 * g.astype(f.dtype) + 1e-6 * val.astype(f.dtype)
 
     t_corr_fb = timed_chain(corr_fb, fmap, max(2, iters // 2))
-    rows.append((f"correlation pyramid (x{t} fwd + x{t} fwd+bwd)",
+    _row(rows, (f"correlation pyramid (x{t} fwd + x{t} fwd+bwd)",
                  t * (t_corr + t_corr_fb)))
 
     # --- lookup_pyramid: 12 per pair
@@ -170,7 +175,7 @@ def profile_eraft(smoke, iters):
         return c + 1e-6 * g + 1e-6 * val
 
     t_lk_fb = timed_chain(lk_fb, coords, max(2, iters // 2))
-    rows.append((f"corr lookup (x{t * n_iters} fwd + fwd+bwd)",
+    _row(rows, (f"corr lookup (x{t * n_iters} fwd + fwd+bwd)",
                  t * n_iters * (t_lk + t_lk_fb)))
 
     # --- update block (motion encoder + SepConvGRU + flow head + mask):
@@ -202,7 +207,7 @@ def profile_eraft(smoke, iters):
         return n_ + 1e-6 * g.astype(n_.dtype) + 1e-6 * val.astype(n_.dtype)
 
     t_ub_fb = timed_chain(ub_fb, net, max(2, iters // 2))
-    rows.append((f"update block (x{t * n_iters} fwd + fwd+bwd)",
+    _row(rows, (f"update block (x{t * n_iters} fwd + fwd+bwd)",
                  t * n_iters * (t_ub + t_ub_fb)))
 
     # --- convex upsample + warm-start splat: once per pair
@@ -224,7 +229,7 @@ def profile_eraft(smoke, iters):
         return f_ + 1e-6 * g + 1e-6 * val
 
     t_up_fb = timed_chain(up_fb, flow_f32, max(2, iters // 2))
-    rows.append((f"upsample+splat (x{t} fwd + fwd+bwd)",
+    _row(rows, (f"upsample+splat (x{t} fwd + fwd+bwd)",
                  t * (t_up + t_up_fb)))
 
     # --- RAFT-large teacher: fwd only (stop-gradient pseudo-GT)
@@ -237,7 +242,7 @@ def profile_eraft(smoke, iters):
         return fr + 1e-6 * fl.mean().astype(fr.dtype)
 
     t_teacher = timed_chain(teacher_fwd, frames, max(2, iters // 10))
-    rows.append(("RAFT-large teacher (fwd, %d pairs)" % t, t_teacher))
+    _row(rows, ("RAFT-large teacher (fwd, %d pairs)" % t, t_teacher))
 
     # --- simulator (fwd only; events carry no param gradients)
     from v2v_tpu.ops.voxel import SimConfig
@@ -254,7 +259,7 @@ def profile_eraft(smoke, iters):
         return s + 1e-6 * (ev.astype(jnp.float32).mean() + gt.mean())
 
     t_sim = timed_chain(sim_fwd, jnp.float32(0.0), max(2, iters // 10))
-    rows.append(("simulator (fwd)", t_sim))
+    _row(rows, ("simulator (fwd)", t_sim))
 
     return rows
 
@@ -293,8 +298,8 @@ def profile_evflow(smoke, iters):
         return v + 1e-6 * g.astype(v.dtype) + 1e-6 * val.astype(v.dtype)
 
     t_fb = timed_chain(fb, flat, max(2, iters // 10))
-    rows.append((f"EVFlowNet B*T={b * t} batched fwd", t_fwd))
-    rows.append(("EVFlowNet fwd+bwd (incl. fwd)", t_fb))
+    _row(rows, (f"EVFlowNet B*T={b * t} batched fwd", t_fwd))
+    _row(rows, ("EVFlowNet fwd+bwd (incl. fwd)", t_fb))
 
     # --- RAFT-large teacher
     raft.seed_random_teacher("raft_large", 12)
@@ -306,7 +311,7 @@ def profile_evflow(smoke, iters):
         return fr + 1e-6 * fl.mean().astype(fr.dtype)
 
     t_teacher = timed_chain(teacher_fwd, frames, max(2, iters // 10))
-    rows.append((f"RAFT-large teacher (fwd, {t} pairs)", t_teacher))
+    _row(rows, (f"RAFT-large teacher (fwd, {t} pairs)", t_teacher))
 
     # --- simulator
     from v2v_tpu.ops.voxel import SimConfig
@@ -322,7 +327,7 @@ def profile_evflow(smoke, iters):
         return s + 1e-6 * (ev.astype(jnp.float32).mean() + gt.mean())
 
     t_sim = timed_chain(sim_fwd, jnp.float32(0.0), max(2, iters // 10))
-    rows.append(("simulator (fwd)", t_sim))
+    _row(rows, ("simulator (fwd)", t_sim))
     return rows
 
 

@@ -69,6 +69,11 @@ def _perturb(x, i):
     return x + (1e-6 * i).astype(x.dtype)
 
 
+def _row(rows, item):
+    rows.append(item)
+    print(f"  [row] {item[0]:<52s} {item[1] * 1e3:9.2f} ms", flush=True)
+
+
 def cast_params(params):
     cast = (lambda a: a.astype(DTYPE)
             if jnp.issubdtype(a.dtype, jnp.floating) else a)
@@ -103,7 +108,7 @@ def main():
         return v + 1e-6 * out["image"].astype(DTYPE).mean()
 
     t_hy = timed_chain(hy_fwd, vox, iters)
-    rows.append(("hyper model fwd (x1)", t_hy))
+    _row(rows, ("hyper model fwd (x1)", t_hy))
 
     def hy_fb(v, i):
         def lf(vv):
@@ -113,8 +118,8 @@ def main():
         return v + 1e-6 * g.astype(v.dtype) + 1e-6 * val.astype(v.dtype)
 
     t_hy_fb = timed_chain(hy_fb, vox, max(2, iters // 2))
-    rows.append(("hyper model fwd+bwd (x1, incl. fwd)", t_hy_fb))
-    rows.append((f"hyper scan contribution (T={t}: fwd + fwd+bwd remat)",
+    _row(rows, ("hyper model fwd+bwd (x1, incl. fwd)", t_hy_fb))
+    _row(rows, (f"hyper scan contribution (T={t}: fwd + fwd+bwd remat)",
                  t * (t_hy + t_hy_fb)))
 
     # ---- same-config standard E2VID (the ~95%-of-peak backbone twin) ----
@@ -129,7 +134,7 @@ def main():
         return v + 1e-6 * out["image"].astype(DTYPE).mean()
 
     t_e2 = timed_chain(e2_fwd, vox, iters)
-    rows.append(("e2vid-equivalent fwd (x1)", t_e2))
+    _row(rows, ("e2vid-equivalent fwd (x1)", t_e2))
 
     def e2_fb(v, i):
         def lf(vv):
@@ -139,8 +144,8 @@ def main():
         return v + 1e-6 * g.astype(v.dtype) + 1e-6 * val.astype(v.dtype)
 
     t_e2_fb = timed_chain(e2_fb, vox, max(2, iters // 2))
-    rows.append(("e2vid-equivalent fwd+bwd (x1, incl. fwd)", t_e2_fb))
-    rows.append(("dynamic-decoder delta per step "
+    _row(rows, ("e2vid-equivalent fwd+bwd (x1, incl. fwd)", t_e2_fb))
+    _row(rows, ("dynamic-decoder delta per step "
                  "(hyper - e2vid, fwd + fwd+bwd)",
                  (t_hy + t_hy_fb) - (t_e2 + t_e2_fb)))
 
@@ -164,7 +169,7 @@ def main():
         return v + 1e-6 * out.astype(DTYPE).mean()
 
     t_dl = timed_chain(dl_fwd, vox, iters)
-    rows.append(("DynamicUpsampleLayer fwd (ctx+atoms+dynconv, x1)", t_dl))
+    _row(rows, ("DynamicUpsampleLayer fwd (ctx+atoms+dynconv, x1)", t_dl))
 
     def dl_fb(v, i):
         def lf(xv):
@@ -175,7 +180,7 @@ def main():
                            + val).astype(v.dtype)
 
     t_dl_fb = timed_chain(dl_fb, vox, max(2, iters // 2))
-    rows.append(("DynamicUpsampleLayer fwd+bwd (x1, incl. fwd)", t_dl_fb))
+    _row(rows, ("DynamicUpsampleLayer fwd+bwd (x1, incl. fwd)", t_dl_fb))
 
     total_model = t * (t_hy + t_hy_fb)
     print(f"\n=== hyper per-block floor table "

@@ -473,3 +473,34 @@ def test_flop_counter_known_shapes():
     remat = count_flops(jax.make_jaxpr(
         jax.grad(jax.checkpoint(loss)))(w, x))
     assert remat > plain > 0
+
+
+def test_compile_cache_opt_in(tmp_path):
+    """V2V_COMPILE_CACHE populates a persistent XLA cache and a fresh
+    process reuses it (v2v_tpu/utils/compile_cache.py — fresh-process
+    workflows: ckpt_paths kill+resume, segmented soak, release kit)."""
+    import os
+    import subprocess
+    import sys
+    from subproc_env import cpu_env
+
+    prog = (
+        "import os\n"
+        "from v2v_tpu.utils.compile_cache import maybe_enable\n"
+        "d = maybe_enable()\n"
+        "assert d == os.environ['V2V_COMPILE_CACHE'], d\n"
+        "import jax, jax.numpy as jnp\n"
+        "x = jax.jit(lambda a: (a @ a).sum())(jnp.ones((64, 64)))\n"
+        "print('RESULT', float(x))\n"
+    )
+    env = cpu_env()
+    env["V2V_COMPILE_CACHE"] = str(tmp_path / "xla_cache")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for attempt in range(2):
+        out = subprocess.run(
+            [sys.executable, "-c", prog], env=env, cwd=repo_root,
+            capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr
+        assert "RESULT 262144.0" in out.stdout
+        entries = list((tmp_path / "xla_cache").iterdir())
+        assert entries, "persistent cache dir stayed empty"

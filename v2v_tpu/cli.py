@@ -29,7 +29,9 @@ def _maybe_init_distributed() -> None:
 def train(argv=None) -> None:
     from v2v_tpu.config import load_yaml
     from v2v_tpu.training.train import main
+    from v2v_tpu.utils.compile_cache import maybe_enable
     argv = sys.argv if argv is None else argv
+    maybe_enable()
     _maybe_init_distributed()
     config_path = argv[1] if len(argv) > 1 else "configs/template.yaml"
     main(load_yaml(config_path))
@@ -38,7 +40,9 @@ def train(argv=None) -> None:
 def test_e2vid(argv=None) -> None:
     from v2v_tpu.config import load_yaml
     from v2v_tpu.eval.harness import main
+    from v2v_tpu.utils.compile_cache import maybe_enable
     argv = sys.argv if argv is None else argv
+    maybe_enable()
     config_path = argv[1] if len(argv) > 1 else "configs/template.yaml"
     main(load_yaml(config_path), test_all_pths=len(argv) > 2)
 
@@ -46,7 +50,9 @@ def test_e2vid(argv=None) -> None:
 def test_flow(argv=None) -> None:
     from v2v_tpu.config import load_yaml
     from v2v_tpu.eval.flow_harness import main
+    from v2v_tpu.utils.compile_cache import maybe_enable
     argv = sys.argv if argv is None else argv
+    maybe_enable()
     config_path = argv[1] if len(argv) > 1 else "configs/template.yaml"
     main(load_yaml(config_path), test_all_pths=len(argv) > 2)
 
@@ -57,4 +63,6 @@ def validate_release(argv=None) -> None:
     available benchmark h5 set, and prints the within-1% deltas against
     the reference regression table (v2v_tpu/eval/release.py)."""
     from v2v_tpu.eval.release import main
+    from v2v_tpu.utils.compile_cache import maybe_enable
+    maybe_enable()
     main(None if argv is None else argv[1:])

@@ -142,10 +142,25 @@ def run_phase(cmd, cwd, log_path, kill_after_epochs=None,
     proc = subprocess.Popen(cmd, cwd=cwd, stdout=log,
                             stderr=subprocess.STDOUT)
     t0 = time.time()
+    last_flush = t0
     while True:
         rc = proc.poll()
         if rc is not None:
             return rc, False
+        # abort-resilience: the rss series lives in driver memory; if
+        # the driver itself is timeout-killed, soak_progress.json keeps
+        # the evidence (train_log.txt already persists the loss side)
+        if rss_samples and time.time() - last_flush > 60:
+            last_flush = time.time()
+            try:
+                with open(os.path.join(cwd, "soak_progress.json"),
+                          "w") as f:
+                    json.dump({"elapsed_s": round(time.time() - t0, 1),
+                               "rss_series": rss_samples[::6],
+                               "rss_mb_peak": max(v for _, v
+                                                  in rss_samples)}, f)
+            except OSError:
+                pass
         if time.time() - t0 > timeout_s:
             proc.kill()
             proc.wait()
@@ -290,6 +305,13 @@ def main():
         os.environ["V2V_RANDOM_TEACHER"] = "1"
     if args.malloc_arena_max is not None:
         os.environ["MALLOC_ARENA_MAX"] = str(args.malloc_arena_max)
+    # segment restarts and the kill+resume repay the fused-step compile
+    # (minutes on the axon relay) unless the persistent compile cache
+    # catches them; default it into the workdir (opt-out: set it empty)
+    if "V2V_COMPILE_CACHE" not in os.environ:
+        os.environ["V2V_COMPILE_CACHE"] = os.path.join(wd, "xla_cache")
+    elif not os.environ["V2V_COMPILE_CACHE"]:
+        del os.environ["V2V_COMPILE_CACHE"]
     cmd = [sys.executable, "-u", os.path.join(REPO, "train.py"), cfg_path]
 
     poll = 0.5 if args.smoke else 5.0

@@ -70,7 +70,7 @@ def _row(rows, item):
     print(f"  [row] {item[0]:<52s} {item[1] * 1e3:9.2f} ms", flush=True)
 
 
-def profile_eraft(smoke, iters):
+def profile_eraft(smoke, iters, only=None):
     from v2v_tpu.models.eraft import (ERAFT, convex_upsample,
                                       correlation_pyramid,
                                       forward_interpolate, lookup_pyramid)
@@ -95,6 +95,50 @@ def profile_eraft(smoke, iters):
 
     # --- fnet encode: T+1 voxels per step; checkpointed (fwd x2 + bwd)
     vox_b = jax.random.normal(key, (b, h, w, bins), DTYPE)
+
+    if only == "pair":
+        # One FULL pair step as XLA actually schedules it: correlation
+        # pyramid + cnet context + the 12 python-UNROLLED refinement
+        # iterations + convex upsample + warm-start splat
+        # (models/eraft.py:step_with_fmaps — the train scan body minus
+        # the fnet encode). The isolated per-op rows (--only blocks)
+        # serialize latency-bound 16^2 ops behind a fori_loop data
+        # dependency; the real unrolled program overlaps them, so the
+        # pair step is the honest scheduling unit for the floor table.
+        fmap1 = jax.random.normal(key, (b, h8, w8, 256), DTYPE)
+        fmap2 = jax.random.normal(jax.random.PRNGKey(1),
+                                  (b, h8, w8, 256), DTYPE)
+        state = jnp.zeros((b, h8, w8, 2), jnp.float32)
+
+        def pair_fwd(f2, i):
+            (out, ns), _ = model.apply(
+                cparams, fmap1, _perturb(f2, i), vox_b, state,
+                method="step_with_fmaps", train=True,
+                mutable=["batch_stats"])
+            return f2 + 1e-6 * (out["flow"].astype(jnp.float32).mean()
+                                + ns.mean()).astype(f2.dtype)
+
+        t_pair = timed_chain(pair_fwd, fmap2, iters)
+        _row(rows, (f"pair step fwd (x{t})", t * t_pair))
+
+        def pair_fb(f2, i):
+            def lf(ff):
+                (out, ns), _ = model.apply(
+                    cparams, fmap1, ff, vox_b, state,
+                    method="step_with_fmaps", train=True,
+                    mutable=["batch_stats"])
+                return (out["flow"].astype(jnp.float32).mean()
+                        + ns.mean())
+            val, g = jax.value_and_grad(lf)(_perturb(f2, i))
+            return f2 + 1e-6 * g.astype(f2.dtype) \
+                + 1e-6 * val.astype(f2.dtype)
+
+        t_pair_fb = timed_chain(pair_fb, fmap2, max(2, iters // 2))
+        _row(rows, (f"pair step fwd+bwd incl fwd (x{t} remat)",
+                     t * t_pair_fb))
+        _row(rows, (f"pair scan contribution (T={t}: fwd + fwd+bwd)",
+                     t * (t_pair + t_pair_fb)))
+        return rows
 
     def enc_fwd(v, i):
         out = model.apply(cparams, _perturb(v, i), method="encode")
@@ -337,10 +381,15 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--iters", type=int, default=20,
                     help="chained iterations per block measurement")
+    ap.add_argument("--only", choices=["pair"], default=None,
+                    help="eraft: measure only the full pair step "
+                         "(the honest scheduling unit; see comment)")
     args = ap.parse_args()
 
-    rows = (profile_eraft if args.family == "eraft"
-            else profile_evflow)(args.smoke, args.iters)
+    if args.family == "eraft":
+        rows = profile_eraft(args.smoke, args.iters, only=args.only)
+    else:
+        rows = profile_evflow(args.smoke, args.iters)
     total = sum(sec for _, sec in rows)
     print(f"\n=== {args.family} per-block floor table "
           f"(device-chained, {jax.devices()[0].platform}) ===", flush=True)

@@ -136,9 +136,17 @@ class DynamicConv(nn.Module):
         z = jnp.dot(x.reshape(b * h * w, c), k2,
                     preferred_element_type=jnp.float32)
         z = z.reshape(b, h, w, m, co).astype(x.dtype)
-        zp = jnp.pad(z, ((0, 0), (p, p), (p, p), (0, 0), (0, 0)))
         # atoms l-index is torch-unfold row-major over the kxk window;
         # shift_l(z)[y] = zp[y + l_offset] reproduces the patch indexing
+        from ..ops import dynconv
+        if dynconv.pallas_ok(b, h, w, m, co, k, z.dtype.itemsize) and \
+                jax.devices()[0].platform in ("tpu", "axon") and \
+                os.environ.get("V2V_DYNCONV_PALLAS", "1") != "0":
+            # fused VMEM shift-sum: one HBM read of z/atoms instead of
+            # k^2 re-reads fwd and 2x that in the backward
+            out = dynconv.dynamic_shift_sum(z, atoms.astype(jnp.float32), k)
+            return out.astype(x.dtype) + bias
+        zp = jnp.pad(z, ((0, 0), (p, p), (p, p), (0, 0), (0, 0)))
         out = jnp.zeros((b, h, w, co), jnp.float32)
         for i in range(k):
             for j in range(k):

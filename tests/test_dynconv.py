@@ -82,3 +82,33 @@ def test_pallas_gate():
     assert not pallas_ok(1, 256, 256, 6, 512, 5, 4)
     # lanes must be full
     assert not pallas_ok(12, 32, 32, 6, 96, 5, 2)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="compiled-kernel path needs the TPU "
+                           "(interpret parity is covered above)")
+def test_shift_sum_compiled_on_tpu():
+    """Compiled (non-interpret) kernel == jnp reference on-chip at the
+    production decoder-0 shape — the path the hyper train step takes
+    through the DynamicConv gate."""
+    b, h, w, m, co, k = 12, 32, 32, 6, 128, 5
+    kz, ka = jax.random.split(jax.random.PRNGKey(4))
+    z = jax.random.normal(kz, (b, h, w, m, co)).astype(jnp.bfloat16)
+    atoms = jax.random.normal(ka, (b, h, w, m, k * k), jnp.float32)
+    ref = jax.jit(lambda z_, a_: _reference(z_, a_, k))(z, atoms)
+    got = jax.jit(lambda z_, a_: dynamic_shift_sum(z_, a_, k))(z, atoms)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss_ker(z_, a_):
+        return jnp.sum(dynamic_shift_sum(z_, a_, k) ** 2)
+
+    def loss_ref(z_, a_):
+        return jnp.sum(_reference(z_, a_, k) ** 2)
+
+    gk = jax.jit(jax.grad(loss_ker, argnums=(0, 1)))(z, atoms)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(z, atoms)
+    for g, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(r, np.float32),
+                                   rtol=5e-2, atol=5e-2)

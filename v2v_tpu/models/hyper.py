@@ -139,9 +139,12 @@ class DynamicConv(nn.Module):
         # atoms l-index is torch-unfold row-major over the kxk window;
         # shift_l(z)[y] = zp[y + l_offset] reproduces the patch indexing
         from ..ops import dynconv
-        if dynconv.pallas_ok(b, h, w, m, co, k, z.dtype.itemsize) and \
-                jax.devices()[0].platform in ("tpu", "axon") and \
-                os.environ.get("V2V_DYNCONV_PALLAS", "1") != "0":
+        # opt-in until the fused kernel has an on-chip A/B + parity run
+        # (round-4 relay outage blocked both; semantics are pinned in
+        # interpret mode by tests/test_dynconv.py)
+        if os.environ.get("V2V_DYNCONV_PALLAS", "0") == "1" and \
+                dynconv.pallas_ok(b, h, w, m, co, k, z.dtype.itemsize) and \
+                jax.devices()[0].platform in ("tpu", "axon"):
             # fused VMEM shift-sum: one HBM read of z/atoms instead of
             # k^2 re-reads fwd and 2x that in the backward
             out = dynconv.dynamic_shift_sum(z, atoms.astype(jnp.float32), k)

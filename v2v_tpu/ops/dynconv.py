@@ -121,7 +121,7 @@ def _shift_sum_fwd(z_t, atoms_t, k, interpret):
         # in-place refs already save; 16 MB scoped default is short at
         # the production shape (measured 27 MB) — v5e VMEM is 128 MB
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(z_t, atoms_t)
     return out, (z_t, atoms_t)
@@ -153,7 +153,7 @@ def _shift_sum_bwd(k, interpret, res, g):
                          memory_space=pltpu.VMEM),
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=80 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(z_t, atoms_t, g)
     return dz.astype(z_t.dtype), da.astype(atoms_t.dtype)
@@ -180,3 +180,15 @@ def dynamic_shift_sum(z: Array, atoms: Array, kernel_size: int,
                   ((0, 0), (0, 0), (p, p), (p, p), (0, 0)))
     atoms_t = jnp.transpose(atoms, (0, 3, 4, 1, 2))
     return _shift_sum(z_t, atoms_t, k, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 verdict (on-chip, docs/PERF.md): MEASURED NEGATIVE at the
+# production shape — XLA's lowering of the 25-slice loop is already
+# latency-bound, not bandwidth-naive (jnp 1.62/2.67 ms vs this kernel
+# 1.70/3.70 ms fwd / fwd+bwd), and the fused backward shows a 1.34%
+# dz mismatch on-chip (clean in interpret mode; suspected overlapping
+# unaligned-sublane RMW hazard). Kept as documented experiment; the
+# DynamicConv gate is opt-in (V2V_DYNCONV_PALLAS=1) and the jnp loop
+# remains the production path.
+# ---------------------------------------------------------------------------

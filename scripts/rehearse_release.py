@@ -70,6 +70,71 @@ def build_assets(root, smoke):
     return root
 
 
+def _proc_cpu_s(pid):
+    """Cumulative CPU seconds (utime+stime, all threads) of a live pid."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(") ", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def run_watched(cmd, log_path, cwd, wedge_s=900.0, poll_s=20.0,
+                retries=1, progress_cpu_s=2.0):
+    """subprocess.call with a wedged-claimant watchdog.
+
+    The axon relay's claim-lost signature is a child that accrues
+    (almost) no CPU for tens of minutes while a FRESH process would get
+    the chip in ~100 s (observed: 53 min at 8 s CPU). If the child makes
+    < `progress_cpu_s` of CPU progress over `wedge_s` of wall, kill it
+    (explicit pid — never by pattern) and retry up to `retries` times.
+
+    Returns (rc, total_wall_s, n_wedge_kills).
+    """
+    t_start = time.time()
+    wedges = 0
+    rc = -1
+    for attempt in range(retries + 1):
+        wedged = False
+        with open(log_path, "a") as lf:
+            lf.write(f"\n--- attempt {attempt + 1} ---\n")
+            lf.flush()
+            child = subprocess.Popen(cmd, cwd=cwd, stdout=lf,
+                                     stderr=subprocess.STDOUT)
+            last_cpu = 0.0
+            last_progress_t = time.time()
+            while True:
+                try:
+                    rc = child.wait(timeout=poll_s)
+                    break
+                except subprocess.TimeoutExpired:
+                    pass
+                cpu = _proc_cpu_s(child.pid)
+                if cpu is None:
+                    continue  # exiting; wait() will catch it
+                if cpu - last_cpu >= progress_cpu_s:
+                    last_cpu = cpu
+                    last_progress_t = time.time()
+                elif time.time() - last_progress_t > wedge_s:
+                    wedges += 1
+                    wedged = True
+                    print(f"[watchdog] pid {child.pid} wedged: "
+                          f"{cpu:.0f}s CPU, no progress for "
+                          f"{time.time() - last_progress_t:.0f}s — "
+                          f"killing and "
+                          f"{'retrying' if attempt < retries else 'giving up'}",
+                          flush=True)
+                    child.kill()
+                    rc = child.wait()
+                    break
+        if not wedged:
+            return rc, time.time() - t_start, wedges
+        if attempt < retries:
+            time.sleep(30)  # let the relay recover the dead claim
+    return rc, time.time() - t_start, wedges
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--workdir", required=True)
@@ -80,11 +145,27 @@ def main():
                          "in full regardless)")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--wedge-min", type=float, default=15.0,
+                    help="kill+retry a family child that makes no CPU "
+                         "progress for this many minutes (the relay's "
+                         "lost-claim signature; waiting does not "
+                         "recover it — verify skill)")
     args = ap.parse_args()
 
     wd = os.path.abspath(args.workdir)
     assets = build_assets(os.path.join(wd, "assets"), args.smoke)
+    jout = args.json_out or os.path.join(wd, "rehearsal_budget.json")
     results = {}
+
+    def dump():
+        # incremental: a driver timeout must not lose measured families
+        with open(jout, "w") as f:
+            json.dump({"families": results,
+                       "total_minutes": round(sum(
+                           r["minutes"] for r in results.values()), 2),
+                       "max_batches": args.max_batches,
+                       "smoke": args.smoke}, f, indent=1)
+
     for family in args.families.split(","):
         family = family.strip()
         out = os.path.join(wd, f"out_{family}")
@@ -94,15 +175,17 @@ def main():
                "--families", family, "--allow-random-init",
                "--max-batches", str(args.max_batches)]
         print(f"\n=== {family} ===", flush=True)
-        t0 = time.time()
-        with open(log, "w") as lf:
-            rc = subprocess.call(cmd, cwd=REPO, stdout=lf,
-                                 stderr=subprocess.STDOUT)
-        dt = time.time() - t0
+        open(log, "w").close()
+        rc, dt, wedges = run_watched(cmd, log, REPO,
+                                     wedge_s=args.wedge_min * 60)
         tail = open(log).read().splitlines()[-6:]
         print("\n".join("  " + ln for ln in tail), flush=True)
-        print(f"[{family}] rc={rc} wall={dt / 60:.1f} min", flush=True)
-        results[family] = {"rc": rc, "minutes": round(dt / 60, 2)}
+        print(f"[{family}] rc={rc} wall={dt / 60:.1f} min"
+              + (f" ({wedges} wedge kill{'s' * (wedges != 1)})"
+                 if wedges else ""), flush=True)
+        results[family] = {"rc": rc, "minutes": round(dt / 60, 2),
+                           "wedge_kills": wedges}
+        dump()
 
     total = sum(r["minutes"] for r in results.values())
     print(f"\n=== release rehearsal budget ===", flush=True)
@@ -113,11 +196,7 @@ def main():
           f"(--max-batches {args.max_batches}; real eval adds windows "
           f"at the measured ms/frame, docs/PERF.md serving table)",
           flush=True)
-    jout = args.json_out or os.path.join(wd, "rehearsal_budget.json")
-    with open(jout, "w") as f:
-        json.dump({"families": results, "total_minutes": total,
-                   "max_batches": args.max_batches,
-                   "smoke": args.smoke}, f, indent=1)
+    dump()
     print(f"wrote {jout}", flush=True)
     sys.exit(max(r["rc"] for r in results.values()) if results else 1)
 

@@ -50,6 +50,11 @@ SMOKE_RES = {
     "MVSEC": (24, 32, ["outdoor_day1"]),
 }
 
+# no-CPU-progress window multipliers: a remote relay compile is client-
+# CPU-idle too, and these families' compiles run 10-60 min (verify
+# skill) — a 15-min window would kill a healthy compile.
+WEDGE_SCALE = {"etnet": 4.0, "hyper": 2.5, "eraft": 2.5}
+
 
 def build_assets(root, smoke):
     from test_data import make_hqf_h5
@@ -149,7 +154,9 @@ def main():
                     help="kill+retry a family child that makes no CPU "
                          "progress for this many minutes (the relay's "
                          "lost-claim signature; waiting does not "
-                         "recover it — verify skill)")
+                         "recover it — verify skill). A remote compile "
+                         "is ALSO client-CPU-idle, so long-compile "
+                         "families get a wider window (WEDGE_SCALE).")
     args = ap.parse_args()
 
     wd = os.path.abspath(args.workdir)
@@ -176,8 +183,9 @@ def main():
                "--max-batches", str(args.max_batches)]
         print(f"\n=== {family} ===", flush=True)
         open(log, "w").close()
+        scale = WEDGE_SCALE.get(family, 1.0)
         rc, dt, wedges = run_watched(cmd, log, REPO,
-                                     wedge_s=args.wedge_min * 60)
+                                     wedge_s=args.wedge_min * 60 * scale)
         tail = open(log).read().splitlines()[-6:]
         print("\n".join("  " + ln for ln in tail), flush=True)
         print(f"[{family}] rc={rc} wall={dt / 60:.1f} min"

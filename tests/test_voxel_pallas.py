@@ -55,11 +55,31 @@ def test_pallas_black_video_finite():
     assert np.abs(out).sum() == 0
 
 
+def _scan_counts_same_backend(videos, pos=0.3, neg=0.25):
+    """Noise-free jnp-scan counts for a (B,N,H,W) batch, run on the SAME
+    backend as the kernel under test (the device-parity oracle)."""
+    params = vx.SimParams(
+        pos_thres=jnp.float32(pos), neg_thres=jnp.float32(neg),
+        base_noise_std=jnp.float32(0.0),
+        hot_pixel_fraction=jnp.float32(0.0),
+        hot_pixel_std=jnp.float32(0.0))
+    f = jax.jit(lambda v: vx.esim_video_to_voxel(v, params))
+    return np.stack([np.asarray(f(jnp.asarray(v))) for v in videos])
+
+
 def test_pallas_pads_nonaligned_shapes_to_lanes():
     """Round-4 gate fix: shapes off the (8, 128) lane grid (e.g. a 96x160
     user crop) run the kernel via internal edge-padding and count
-    slicing — exact vs the golden scan on the unpadded region — instead
-    of silently dropping to the ~60x-slower scan simulator."""
+    slicing instead of silently dropping to the ~60x-slower scan.
+
+    Two-tier check (an on-chip drive this round showed why):
+      1. BIT-EXACT vs the jnp scan on the same backend — proves the
+         pad+slice introduces nothing (compiled kernel and XLA scan
+         agreed element-for-element at every shape tried on-chip).
+      2. vs the numpy golden, a small flip budget: the TPU log
+         approximation shifts a handful of near-threshold crossings by
+         one frame (+-1 count, interior, aligned shapes show the same
+         rate), so device-vs-numpy can NOT be held bit-exact."""
     for h, w in [(96, 160), (30, 100)]:
         videos = _videos(b=2, n=7, h=h, w=w, seed=3)
         b = videos.shape[0]
@@ -67,10 +87,12 @@ def test_pallas_pads_nonaligned_shapes_to_lanes():
             jnp.asarray(videos), jnp.zeros((b,), jnp.int32),
             _batch_params(b), noise_free=True, interpret=INTERPRET))
         assert out.shape == (b, 6, h, w)
+        scan = _scan_counts_same_backend(videos)
+        np.testing.assert_array_equal(out, scan)       # tier 1: exact
         for i in range(b):
             want = golden_video_to_voxel(videos[i], 0.3, 0.25)
             diff = np.abs(out[i] - want)
-            assert (diff > 0).mean() < 1e-4, (h, w, (diff > 0).mean())
+            assert (diff > 0).mean() < 5e-4, (h, w, (diff > 0).mean())
             assert diff.max() <= 1.0
 
 

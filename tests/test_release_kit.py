@@ -47,16 +47,19 @@ def _make_assets(tmp_path, with_ckpt):
     return assets
 
 
-def _run_kit(tmp_path, assets, extra):
+def _run_kit(tmp_path, assets, extra, families="e2vid++",
+             datasets="hqf"):
     from subproc_env import cpu_env
     out = tmp_path / "out"
     cmd = [sys.executable, "-m", "v2v_tpu.eval.release",
            "--assets", str(assets), "--out", str(out),
-           "--families", "e2vid++", "--datasets", "hqf",
+           "--families", families, "--datasets", datasets,
            "--max-batches", "2", "--configs",
            os.path.join(REPO, "configs")] + extra
+    env = cpu_env()
+    env.pop("V2V_RANDOM_TEACHER", None)   # the kit must set it itself
     proc = subprocess.run(cmd, capture_output=True, timeout=1200,
-                          env=cpu_env(), cwd=REPO)
+                          env=env, cwd=REPO)
     return proc, out
 
 
@@ -93,6 +96,22 @@ def test_release_kit_random_init_dry_run(tmp_path):
     assert "exit code certifies ONLY the 0 gated" in text
     assert (out / "tensorboard_logs" / "release_e2vid++"
             / "test_metrics.txt").exists()
+
+
+def test_release_kit_flow_family_dry_run_covers_teacher(tmp_path):
+    """--allow-random-init must extend to EVERY missing weight, incl.
+    the flow families' RAFT pseudo-GT teacher: evflow over a no-flow
+    dataset (the pseudo-GT route) used to hard-fail the whole family on
+    a missing raft_large.pth — found by the round-4 full-resolution
+    rehearsal on TPU."""
+    assets = _make_assets(tmp_path, with_ckpt=False)
+    proc, out = _run_kit(tmp_path, assets, ["--allow-random-init"],
+                         families="evflow")
+    text = proc.stdout.decode() + proc.stderr.decode()
+    assert proc.returncode == 0, text[-4000:]
+    assert "RANDOM INIT dry run" in text
+    assert "RANDOMLY INITIALIZED" in text     # raft.py's loud warning
+    assert "release validation summary" in text
 
 
 def test_fetch_weights_checksum_and_placement(tmp_path):

@@ -293,6 +293,13 @@ def validate_release(assets: str, out: str = "release_validation",
     families = families or list(FAMILIES)
     datasets = datasets or list(DATASETS)
 
+    if allow_random_init:
+        # the dry-run promise covers EVERY missing weight, including the
+        # flow families' RAFT pseudo-GT teacher (which otherwise hard-
+        # fails the rehearsal): raft.py only uses the random teacher
+        # when the .pth is genuinely absent, and warns loudly then.
+        os.environ.setdefault("V2V_RANDOM_TEACHER", "1")
+
     wdir = os.path.join(assets, "weights")
     if fetch:
         st = fetch_weights(wdir, downloader=downloader)

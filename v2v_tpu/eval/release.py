@@ -287,18 +287,38 @@ def validate_release(assets: str, out: str = "release_validation",
                      allow_random_init: bool = False,
                      strict_convert: bool = True,
                      fetch: bool = False, downloader=None) -> int:
-    from ..config import load_yaml
-
-    os.makedirs(out, exist_ok=True)
-    families = families or list(FAMILIES)
-    datasets = datasets or list(DATASETS)
-
+    # env-scoped, not process-permanent: a validate_release(...,
+    # allow_random_init=True) call must not silently leak the random-
+    # teacher opt-in (or this run's weights dir) into later calls in
+    # the same process (advisor round-4 finding)
+    saved = {k: os.environ.get(k)
+             for k in ("V2V_RANDOM_TEACHER", "V2V_WEIGHTS_DIR")}
     if allow_random_init:
         # the dry-run promise covers EVERY missing weight, including the
         # flow families' RAFT pseudo-GT teacher (which otherwise hard-
         # fails the rehearsal): raft.py only uses the random teacher
         # when the .pth is genuinely absent, and warns loudly then.
-        os.environ.setdefault("V2V_RANDOM_TEACHER", "1")
+        os.environ["V2V_RANDOM_TEACHER"] = "1"
+    try:
+        return _validate_release(
+            assets, out, families, datasets, configs_dir, max_batches,
+            tol, allow_random_init, strict_convert, fetch, downloader)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _validate_release(assets, out, families, datasets, configs_dir,
+                      max_batches, tol, allow_random_init,
+                      strict_convert, fetch, downloader) -> int:
+    from ..config import load_yaml
+
+    os.makedirs(out, exist_ok=True)
+    families = families or list(FAMILIES)
+    datasets = datasets or list(DATASETS)
 
     wdir = os.path.join(assets, "weights")
     if fetch:

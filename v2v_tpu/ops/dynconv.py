@@ -16,10 +16,16 @@ keeps z (with halo), atoms and the accumulator in VMEM and performs
 all 150 shifted fused multiply-adds on-chip — HBM traffic drops to one
 read of each operand plus one write (~26 MB/call).
 
-The backward pass has the same structure and the same bandwidth
-problem twice (dz is the transposed shift-sum; datoms is a per-offset
-lane reduction), so the op carries a custom VJP with a fused backward
-kernel. The surrounding pad/transpose stay ordinary jnp ops outside
+The backward pass is a custom VJP in plain jnp (the transposed
+shift-sum for dz, a per-offset channel reduction for datoms) — exactly
+the gradients XLA autodiff derives for the jnp reference loop. A fused
+Pallas backward was built in round 4 and RETIRED in round 5: it showed
+a 1.34% dz mismatch on-chip (clean in interpret mode; suspected
+overlapping unaligned-sublane read-modify-write windows on the
+halo-padded dz accumulator), and the whole op had already measured
+NEGATIVE vs XLA's lowering anyway (docs/PERF.md round 4) — a
+known-wrong kernel must not ship one flag-flip away (round-5 verdict
+weak #5). The surrounding pad/transpose stay ordinary jnp ops outside
 the custom_vjp boundary (XLA copies at HBM rate, ~0.1 ms total).
 
 Layouts inside the kernels (minor-to-major chosen for the TPU tiling):
@@ -54,10 +60,10 @@ def pallas_ok(b: int, h: int, w: int, m: int, co: int, k: int,
     hp, wp = h + k - 1, w + k - 1
     vmem = (
         m * hp * wp * co * z_bytes          # z tile (+halo)
-        + m * hp * wp * co * 4              # dz f32 accumulator (bwd)
-        + 2 * m * k * k * h * w * 4         # atoms + datoms
-        + 2 * h * w * co * 4                # out/g f32
-    )
+        + m * hp * wp * co * 4              # headroom (was the bwd dz
+        + 2 * m * k * k * h * w * 4         #   accumulator; the fused
+        + 2 * h * w * co * 4                #   bwd is retired — kept
+    )                                       #   conservative)
     return vmem <= _VMEM_BUDGET and co % 128 == 0 and h >= 8 and w >= 8
 
 
@@ -75,24 +81,6 @@ def _fwd_kernel(k: int, z_ref, a_ref, out_ref):
             a = a_ref[0, m, l].astype(jnp.float32)          # (H,W)
             zsl = z_ref[0, m, i:i + h, j:j + w].astype(jnp.float32)
             out_ref[0] = out_ref[0] + a[:, :, None] * zsl
-
-
-def _bwd_kernel(k: int, z_ref, a_ref, g_ref, dz_ref, da_ref):
-    _, m_atoms, hp, wp, co = z_ref.shape
-    _, _, _, h, w = a_ref.shape
-    g = g_ref[0].astype(jnp.float32)                        # (H,W,CO)
-    dz_ref[0] = jnp.zeros((m_atoms, hp, wp, co), jnp.float32)
-    for l in range(k * k):
-        i, j = l // k, l % k
-        for m in range(m_atoms):
-            a = a_ref[0, m, l].astype(jnp.float32)
-            zsl = z_ref[0, m, i:i + h, j:j + w].astype(jnp.float32)
-            # datoms[m,l] = <g, shift_l(z_m)> over channels
-            da_ref[0, m, l] = jnp.sum(zsl * g, axis=-1)
-            # dz_m[pad window] += a * g  (transposed shift-sum),
-            # in-place on the output ref for the same reuse reason
-            dz_ref[0, m, i:i + h, j:j + w, :] = \
-                dz_ref[0, m, i:i + h, j:j + w, :] + a[:, :, None] * g
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -128,34 +116,26 @@ def _shift_sum_fwd(z_t, atoms_t, k, interpret):
 
 
 def _shift_sum_bwd(k, interpret, res, g):
+    """jnp backward — the same gradients XLA autodiff derives for the
+    reference slice-loop, so on-chip grad parity is by construction.
+    (The round-4 fused Pallas backward is retired; see module doc.)"""
     z_t, atoms_t = res
     b, m, hp, wp, co = z_t.shape
     h, w = hp - (k - 1), wp - (k - 1)
-    dz, da = pl.pallas_call(
-        functools.partial(_bwd_kernel, k),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, m, hp, wp, co), jnp.float32),
-            jax.ShapeDtypeStruct((b, m, k * k, h, w), jnp.float32),
-        ),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, m, hp, wp, co), lambda i: (i, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, k * k, h, w), lambda i: (i, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w, co), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, m, hp, wp, co), lambda i: (i, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, k * k, h, w), lambda i: (i, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-        interpret=interpret,
-    )(z_t, atoms_t, g)
+    g32 = g.astype(jnp.float32)                             # (B,H,W,CO)
+    dz = jnp.zeros((b, m, hp, wp, co), jnp.float32)
+    da_slices = []
+    for l in range(k * k):
+        i, j = l // k, l % k
+        zsl = z_t[:, :, i:i + h, j:j + w, :].astype(jnp.float32)
+        # datoms[:, :, l] = <g, shift_l(z_m)> over channels
+        da_slices.append(jnp.einsum("bmhwc,bhwc->bmhw", zsl, g32,
+                                    preferred_element_type=jnp.float32))
+        # dz_m[pad window] += a * g  (transposed shift-sum)
+        a = atoms_t[:, :, l].astype(jnp.float32)            # (B,M,H,W)
+        dz = dz.at[:, :, i:i + h, j:j + w, :].add(
+            a[..., None] * g32[:, None])
+    da = jnp.stack(da_slices, axis=2)                       # (B,M,L,H,W)
     return dz.astype(z_t.dtype), da.astype(atoms_t.dtype)
 
 
@@ -185,10 +165,10 @@ def dynamic_shift_sum(z: Array, atoms: Array, kernel_size: int,
 # ---------------------------------------------------------------------------
 # Round-4 verdict (on-chip, docs/PERF.md): MEASURED NEGATIVE at the
 # production shape — XLA's lowering of the 25-slice loop is already
-# latency-bound, not bandwidth-naive (jnp 1.62/2.67 ms vs this kernel
-# 1.70/3.70 ms fwd / fwd+bwd), and the fused backward shows a 1.34%
-# dz mismatch on-chip (clean in interpret mode; suspected overlapping
-# unaligned-sublane RMW hazard). Kept as documented experiment; the
-# DynamicConv gate is opt-in (V2V_DYNCONV_PALLAS=1) and the jnp loop
-# remains the production path.
+# latency-bound, not bandwidth-naive (jnp 1.62/2.67 ms vs the fused
+# kernels 1.70/3.70 ms fwd / fwd+bwd). Round 5: the fused backward
+# (which additionally showed a 1.34% on-chip dz mismatch) is DELETED;
+# the forward kernel + this jnp VJP remain as the documented
+# experiment. The DynamicConv gate stays opt-in (V2V_DYNCONV_PALLAS=1)
+# and the jnp loop remains the production path.
 # ---------------------------------------------------------------------------

@@ -383,7 +383,10 @@ def _load_params(name: str, model: RAFT):
     dummy = jnp.zeros((1, 64, 64, 3))
     params = model.init(jax.random.PRNGKey(0), dummy, dummy)
     if not os.path.exists(path):
-        if os.environ.get("V2V_RANDOM_TEACHER"):
+        # "0"/"false" opt OUT (any-nonempty-is-true made the flag
+        # impossible to disable once set — advisor round-4 finding)
+        if os.environ.get("V2V_RANDOM_TEACHER", "").lower() not in (
+                "", "0", "false", "no"):
             # loud dev-environment fallback (same pattern as the LPIPS
             # random-feature fallback, losses/lpips.py): identical
             # compute/memory to the pretrained teacher, but the flow

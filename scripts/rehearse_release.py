@@ -89,6 +89,10 @@ def main():
     ap.add_argument("--max-batches", type=int, default=2,
                     help="eval windows per sequence (compiles are paid "
                          "in full regardless)")
+    ap.add_argument("--datasets", default=None,
+                    help="comma list passed through to the kit (e.g. "
+                         "run nernet's hqf,ijrr,mvsec first and its "
+                         "EVAID 720p compile set in its own session)")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--wedge-min", type=float, default=15.0,
@@ -122,6 +126,8 @@ def main():
                "--assets", assets, "--out", out,
                "--families", family, "--allow-random-init",
                "--max-batches", str(args.max_batches)]
+        if args.datasets:
+            cmd += ["--datasets", args.datasets]
         print(f"\n=== {family} ===", flush=True)
         open(log, "w").close()
         scale = WEDGE_SCALE.get(family, 1.0)

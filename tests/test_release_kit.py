@@ -176,3 +176,47 @@ def test_fetch_manifest_covers_every_aux_weight():
         assert len(prefix) == 8 and int(prefix, 16) >= 0
         # torchvision convention: the prefix travels in the filename
         assert prefix in url
+
+
+def test_budget_mode(tmp_path):
+    """--budget prints the machine-day projection (setup minutes from a
+    rehearsal artifact + frames x serving ms/frame) and does NOT run
+    any family (round-5 verdict #6)."""
+    import json
+    from subproc_env import cpu_env
+    assets = _make_assets(tmp_path, with_ckpt=False)
+    art = tmp_path / "rehearsal.json"
+    art.write_text(json.dumps({
+        "families": {"e2vid++": {"rc": 0, "minutes": 8.0},
+                     "evflow": {"rc": 1, "minutes": 5.7}},
+        "max_batches": 2}))
+    cmd = [sys.executable, "-m", "v2v_tpu.eval.release",
+           "--assets", str(assets), "--budget",
+           "--rehearsal", str(art),
+           "--families", "e2vid++,evflow,etnet"]
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=300, env=cpu_env(), cwd=REPO)
+    out = proc.stdout
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "hqf: 2 sequences, 162 frames @ 24x32" in out
+    assert "8.0" in out                      # rehearsed setup minutes
+    assert "5.7!" in out                     # rc!=0 flagged
+    assert "TOTAL" in out
+    # eval projection: 162 frames x 1.49 ms -> ~0.004 min, rounds to 0.0
+    assert "running" not in out              # budget must not run tests
+
+
+def test_budget_math():
+    from v2v_tpu.eval.release import _ms_per_frame
+    ms, est = _ms_per_frame("e2vid++", 180, 240)
+    assert (ms, est) == (1.49, False)        # exact measured point
+    ms720, est720 = _ms_per_frame("etnet", 720, 1280)
+    assert (ms720, est720) == (221.0, False)
+    # unmeasured resolution: pixel-scaled from the nearest measured
+    # point in pixel count (360x480 -> the 260x346 row)
+    ms2, est2 = _ms_per_frame("e2vid++", 360, 480)
+    assert est2 and ms2 == pytest.approx(
+        2.80 * (360 * 480) / (260 * 346))
+    # unmeasured family proxies e2vid++
+    ms3, est3 = _ms_per_frame("nernet", 180, 240)
+    assert est3 and ms3 == pytest.approx(1.49)

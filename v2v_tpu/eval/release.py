@@ -171,6 +171,132 @@ def fetch_weights(wdir: str, downloader=None,
     return status
 
 
+# measured B=1 stateful streaming latency, f32, TPU v5e (docs/PERF.md
+# "Streaming-eval (serving) latency" table + the ETNet 720p flash-
+# attention figure). Used only by the --budget projection.
+SERVING_MS_PER_FRAME: List[Tuple[str, int, int, float]] = [
+    ("e2vid++", 180, 240, 1.49), ("e2vid++", 260, 346, 2.80),
+    ("etnet", 180, 240, 2.11), ("etnet", 720, 1280, 221.0),
+    ("hyper", 180, 240, 1.68), ("hyper", 260, 346, 3.32),
+    ("eraft", 260, 346, 5.27),
+]
+
+
+def _ms_per_frame(family: str, h: int, w: int) -> Tuple[float, bool]:
+    """(ms/frame, is_estimate). Unmeasured (family, resolution) points
+    scale the family's nearest measured point linearly in pixel count;
+    unmeasured families proxy through the e2vid++ UNet row (marked as
+    estimates either way)."""
+    pts = [p for p in SERVING_MS_PER_FRAME if p[0] == family]
+    est = False
+    if not pts:
+        pts = [p for p in SERVING_MS_PER_FRAME if p[0] == "e2vid++"]
+        est = True
+    exact = [p for p in pts if p[1] == h and p[2] == w]
+    if exact and not est:
+        return exact[0][3], est
+    nearest = min(pts, key=lambda p: abs(p[1] * p[2] - h * w))
+    return nearest[3] * (h * w) / (nearest[1] * nearest[2]), True
+
+
+def _count_frames(assets: str, datasets: List[str]
+                  ) -> Dict[str, Tuple[int, int, int, int]]:
+    """dataset -> (n_files, n_frames, H, W) over DIR/h5/{DS}/*.h5."""
+    import h5py
+    out = {}
+    for ds in datasets:
+        files = sorted(glob.glob(os.path.join(assets, "h5", ds.upper(),
+                                              "*.h5")))
+        n_frames, h, w = 0, 0, 0
+        for path in files:
+            try:
+                with h5py.File(path, "r") as f:
+                    keys = list(f["images"].keys())
+                    n_frames += len(keys)
+                    if keys and not h:
+                        h, w = f["images"][keys[0]].shape[:2]
+            except (OSError, KeyError) as e:
+                print(f"[budget] unreadable {path}: {e}")
+        if files:
+            out[ds] = (len(files), n_frames, h, w)
+    return out
+
+
+def _find_rehearsal(explicit: Optional[str]) -> Optional[str]:
+    if explicit:
+        return explicit if os.path.isfile(explicit) else None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("rehearsal_r5.json", "rehearsal_r4_partial.json"):
+        cand = os.path.join(here, "..", "..", "docs", name)
+        if os.path.isfile(cand):
+            return os.path.normpath(cand)
+    return None
+
+
+def print_budget(assets: str, families: Optional[List[str]] = None,
+                 datasets: Optional[List[str]] = None,
+                 rehearsal: Optional[str] = None) -> int:
+    """--budget: state the machine-day plan before running it — per
+    family, the measured compile/setup minutes from the full-resolution
+    rehearsal artifact plus projected eval minutes (frames in the
+    assets x the measured serving ms/frame). Reference spirit:
+    test_e2vid.py:133-172's skip-if-done bookkeeping (predictable
+    machine-days)."""
+    families = families or list(FAMILIES)
+    datasets = datasets or list(DATASETS)
+
+    rpath = _find_rehearsal(rehearsal)
+    rfam: Dict[str, Any] = {}
+    if rpath:
+        import json as _json
+        with open(rpath) as f:
+            data = _json.load(f)
+        rfam = data.get("families", {})
+        print(f"[budget] rehearsal artifact: {rpath} "
+              f"(--max-batches {data.get('max_batches')})")
+    else:
+        print("[budget] no rehearsal artifact found - compile/setup "
+              "minutes unknown (run scripts/rehearse_release.py)")
+
+    counts = _count_frames(assets, datasets)
+    if not counts:
+        print(f"[budget] no h5 datasets under {assets}/h5/")
+        return 1
+    for ds, (nf, frames, h, w) in sorted(counts.items()):
+        print(f"[budget] {ds}: {nf} sequences, {frames} frames "
+              f"@ {h}x{w}")
+
+    print(f"\n{'family':10s} {'setup(min)':>12s} {'eval(min)':>10s} "
+          f"{'total(min)':>11s}  basis")
+    grand = 0.0
+    for family in families:
+        setup = rfam.get(family, {}).get("minutes")
+        setup_s = f"{setup:.1f}" if setup is not None else "?"
+        if rfam.get(family, {}).get("rc") not in (0, None):
+            setup_s += "!"          # rehearsal did not finish cleanly
+        eval_min = 0.0
+        any_est = False
+        for ds, (nf, frames, h, w) in counts.items():
+            ms, est = _ms_per_frame(family, h, w)
+            any_est |= est
+            eval_min += frames * ms / 60000.0
+        total = (setup or 0.0) + eval_min
+        grand += total
+        basis = ("serving table" if not any_est
+                 else "serving table + pixel-scaled estimates")
+        print(f"{family:10s} {setup_s:>12s} {eval_min:>10.1f} "
+              f"{total:>11.1f}  {basis}")
+    print(f"{'TOTAL':10s} {'':>12s} {'':>10s} {grand:>11.1f}  "
+          f"(setup '?' rows excluded from their totals; '!' = "
+          f"rehearsal rc!=0)")
+    print("\nnotes: setup = measured rehearsal wall (compiles + capped "
+          "windows, docs/PERF.md);\n  eval = frames x f32 ms/frame "
+          "(B=1 streaming, scripts/bench_eval.py); nernet EVAID\n  "
+          "compiles once per event bucket - its setup dominates "
+          "(rehearsal artifact).")
+    return 0
+
+
 def _find_configs_dir(explicit: Optional[str]) -> str:
     if explicit:
         return explicit
@@ -443,7 +569,22 @@ def main(argv: Optional[List[str]] = None) -> None:
                          "torchvision state_dicts) into assets/weights/ "
                          "first; offline behavior is unchanged when the "
                          "network is unavailable")
+    ap.add_argument("--budget", action="store_true",
+                    help="print the projected machine-day plan (per-"
+                         "family minutes from the rehearsal artifact + "
+                         "assets frame counts x measured serving "
+                         "ms/frame) and exit without running")
+    ap.add_argument("--rehearsal",
+                    help="rehearsal budget json for --budget (default: "
+                         "docs/rehearsal_r5.json if present)")
     args = ap.parse_args(argv)
+
+    if args.budget:
+        sys.exit(print_budget(
+            assets=args.assets,
+            families=args.families.split(",") if args.families else None,
+            datasets=args.datasets.split(",") if args.datasets else None,
+            rehearsal=args.rehearsal))
 
     rc = validate_release(
         assets=args.assets, out=args.out,

@@ -92,11 +92,15 @@ def profile_eraft(smoke, iters, only=None):
 
     h8, w8 = h // 8, w // 8
     rows = []
+    # `only` selects row subsets ("pair", "fnet", or "pair,fnet") —
+    # round 5's close_eraft_floor.py measures ONLY the scan
+    # constituents in the same session as the full step
+    want = set(only.split(",")) if only else None
 
     # --- fnet encode: T+1 voxels per step; checkpointed (fwd x2 + bwd)
     vox_b = jax.random.normal(key, (b, h, w, bins), DTYPE)
 
-    if only == "pair":
+    if want is not None and "pair" in want:
         # One FULL pair step as XLA actually schedules it: correlation
         # pyramid + cnet context + the 12 python-UNROLLED refinement
         # iterations + convex upsample + warm-start splat
@@ -138,7 +142,8 @@ def profile_eraft(smoke, iters, only=None):
                      t * t_pair_fb))
         _row(rows, (f"pair scan contribution (T={t}: fwd + fwd+bwd)",
                      t * (t_pair + t_pair_fb)))
-        return rows
+        if want == {"pair"}:
+            return rows
 
     def enc_fwd(v, i):
         out = model.apply(cparams, _perturb(v, i), method="encode")
@@ -157,6 +162,8 @@ def profile_eraft(smoke, iters, only=None):
     _row(rows, ("fnet encode (x%d fwd + x%d remat fwd+bwd)"
                  % (t + 1, t + 1),
                  (t + 1) * (t_enc + t_enc_fb)))
+    if want is not None:
+        return rows          # subset mode covers only pair/fnet
 
     # --- cnet context: once per pair, rematted
     def cnet_apply(v):
@@ -381,9 +388,11 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--iters", type=int, default=20,
                     help="chained iterations per block measurement")
-    ap.add_argument("--only", choices=["pair"], default=None,
-                    help="eraft: measure only the full pair step "
-                         "(the honest scheduling unit; see comment)")
+    ap.add_argument("--only", choices=["pair", "fnet", "pair,fnet"],
+                    default=None,
+                    help="eraft: measure only these row subsets (the "
+                         "pair step is the honest scheduling unit; "
+                         "close_eraft_floor.py uses pair,fnet)")
     args = ap.parse_args()
 
     if args.family == "eraft":

@@ -257,6 +257,15 @@ def main():
                     help="set MALLOC_ARENA_MAX for the train child "
                          "(glibc per-thread arena retention mitigation "
                          "— scripts/diag_rss.py names the owner)")
+    ap.add_argument("--corpus-hw", default="256x340",
+                    help="synthetic source-video resolution HxW. The "
+                         "1-core dev host is DECODE-bound (0.56 steps/s "
+                         "at 256x340, bench_loader.py); smaller sources "
+                         "cut harness wall-clock without touching the "
+                         "device contract (B=12, 128^2 crops, T=40 — "
+                         "webvid.py's min_resize_scale self-adjusts to "
+                         "any source size). Decode scaling remains "
+                         "bench_loader.py's story.")
     ap.add_argument("--segment-epochs", type=int, default=None,
                     help="kill+resume the train child every N epochs. "
                          "Bounds host RSS on the axon relay, whose "
@@ -280,8 +289,9 @@ def main():
         else:
             # 30 videos x 84 samples = 2520 samples -> 210 steps/epoch
             # at B=12; 10 epochs = 2100 steps
+            ch, cw = (int(x) for x in args.corpus_hw.split("x"))
             video_list = make_corpus(corpus, n_videos=30, frames=420,
-                                     h=256, w=340)
+                                     h=ch, w=cw)
     else:
         video_list = os.path.join(corpus, "list.txt")
 

@@ -545,6 +545,12 @@ def _validate_release(assets, out, families, datasets, configs_dir,
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    # `python -m v2v_tpu.eval.release` must honor V2V_COMPILE_CACHE the
+    # same as the v2v-validate-release console command (cli.py) — the
+    # rehearsal driver spawns one kit process per family, exactly the
+    # fresh-process workflow the cache exists for
+    from ..utils.compile_cache import maybe_enable
+    maybe_enable()
     ap = argparse.ArgumentParser(
         description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)

@@ -76,3 +76,32 @@ def test_seed_random_teacher_feeds_raft_flow(tmp_path, monkeypatch):
         assert not np.any(np.asarray(flow[:, 0]))   # zeros for t < l0
     finally:
         raft._cache.clear()
+
+
+def test_raft_flow_chunked_matches_batched(tmp_path, monkeypatch):
+    """The corr-budget chunking (round-5: one 720p pair costs ~0.5 GB of
+    all-pairs correlation, so the fully-batched teacher OOMs at EVAID —
+    found by the release rehearsal) must be a pure scheduling change:
+    chunked pair batches produce the identical flow."""
+    from v2v_tpu.training import raft
+    monkeypatch.setenv("V2V_WEIGHTS_DIR", str(tmp_path))
+    monkeypatch.setenv("V2V_RANDOM_TEACHER", "1")
+    raft._cache.clear()
+    raft.seed_random_teacher("raft_small", num_flow_updates=2)
+    frames = jax.random.uniform(jax.random.PRNGKey(7), (2, 5, 40, 48, 1))
+
+    ref = raft.raft_flow("raft_small", frames, l0=1, num_flow_updates=2)
+    # 8 pairs; a tiny budget forces ~1-pair chunks through lax.map
+    monkeypatch.setenv("V2V_RAFT_CORR_BUDGET_GB", "1e-9")
+    got = raft.raft_flow("raft_small", frames, l0=1, num_flow_updates=2)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=5e-2, atol=5e-3)
+    assert np.isfinite(np.asarray(got, np.float32)).all()
+    # non-divisible chunking: budget for ~3 of 8 pairs (pads the tail)
+    monkeypatch.setenv("V2V_RAFT_CORR_BUDGET_GB",
+                       str(3 * (5 * 6) ** 2 * 2 * 1.34 / 2 ** 30))
+    got3 = raft.raft_flow("raft_small", frames, l0=1, num_flow_updates=2)
+    np.testing.assert_allclose(np.asarray(got3, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=5e-2, atol=5e-3)

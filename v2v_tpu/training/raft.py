@@ -448,9 +448,35 @@ def raft_flow(source: str, frames: Array, l0: int = 1,
     fmap2 = fseq[:, 1:].reshape((-1,) + fmaps.shape[1:])
     img1 = imgs.reshape((b, n, h, w, -1))[:, :-1].reshape(
         (-1, h, w, imgs.shape[-1]))
-    flow = jax.lax.stop_gradient(
-        model.apply(params, fmap1, fmap2, img1,
-                    method="flow_from_fmaps")).astype(frames.dtype)
+
+    # RAFT's all-pairs correlation is QUADRATIC in the 1/8-scale token
+    # count: one 720p pair costs ~0.5 GB, so batching every pair at
+    # once (the 128^2 training win: teacher 5.14 s -> 0.105 s) OOMs HBM
+    # at benchmark resolutions (found by the round-5 EVAID release
+    # rehearsal: bf16[80,14400,14400] = 33 GB). Chunk the pair batch so
+    # the live correlation stays under a budget; lax.map runs chunks
+    # sequentially, and small shapes keep the single fully-batched call.
+    npairs = fmap1.shape[0]
+    hw8 = (h // 8) * (w // 8)
+    corr_bytes = hw8 * hw8 * (4 if compute_dtype is None else 2) * 1.34
+    budget = float(os.environ.get("V2V_RAFT_CORR_BUDGET_GB", "6")) * 2**30
+    chunk = max(1, min(npairs, int(budget / corr_bytes)))
+    if chunk >= npairs:
+        flow = model.apply(params, fmap1, fmap2, img1,
+                           method="flow_from_fmaps")
+    else:
+        n_chunks = -(-npairs // chunk)
+        pad = n_chunks * chunk - npairs
+        pad0 = lambda x: jnp.concatenate(
+            [x, jnp.repeat(x[:1], pad, axis=0)]) if pad else x
+        f1c, f2c, i1c = (pad0(x).reshape((n_chunks, chunk) + x.shape[1:])
+                         for x in (fmap1, fmap2, img1))
+        flow = jax.lax.map(
+            lambda xs: model.apply(params, xs[0], xs[1], xs[2],
+                                   method="flow_from_fmaps"),
+            (f1c, f2c, i1c))
+        flow = flow.reshape((n_chunks * chunk,) + flow.shape[2:])[:npairs]
+    flow = jax.lax.stop_gradient(flow).astype(frames.dtype)
     flow = flow.reshape(b, t - l0, h, w, 2)
     zeros = jnp.zeros((b, l0, h, w, 2), flow.dtype)
     return jnp.concatenate([zeros, flow], axis=1)

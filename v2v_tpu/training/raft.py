@@ -459,7 +459,13 @@ def raft_flow(source: str, frames: Array, l0: int = 1,
     npairs = fmap1.shape[0]
     hw8 = (h // 8) * (w // 8)
     corr_bytes = hw8 * hw8 * (4 if compute_dtype is None else 2) * 1.34
-    budget = float(os.environ.get("V2V_RAFT_CORR_BUDGET_GB", "6")) * 2**30
+    # 1.5 GB default: the corr pyramid is only part of the live set
+    # (encoder/GRU activations and lookup intermediates scale with the
+    # pair chunk too — the 9-pair 720p batch measured 20.2 G used);
+    # ~2 pairs at 720p, while 128^2 training stays fully batched
+    # (chunk ~9k pairs)
+    budget = float(os.environ.get("V2V_RAFT_CORR_BUDGET_GB",
+                                  "1.5")) * 2**30
     chunk = max(1, min(npairs, int(budget / corr_bytes)))
     if chunk >= npairs:
         flow = model.apply(params, fmap1, fmap2, img1,

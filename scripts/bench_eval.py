@@ -36,7 +36,8 @@ REPS = 5
 
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FAMILIES = ("e2vid", "e2vid++", "firenet", "etnet", "hyper", "eraft")
+FAMILIES = ("e2vid", "e2vid++", "firenet", "etnet", "hyper", "eraft",
+            "evflow")
 
 
 def load_module_cfg(path):
@@ -140,6 +141,10 @@ def main(families):
         all_rows += bench_family(
             "eraft", load_module_cfg(f"{cfgs}/test_eraft_original.yaml"),
             [MVSEC], num_bins=15, flow=True)
+    if "evflow" in families:
+        all_rows += bench_family(
+            "evflow", load_module_cfg(f"{cfgs}/test_evflow_original.yaml"),
+            [IJRR, MVSEC], flow=True)
     print("\nname,dataset,resolution,dtype,ms_per_frame,fps")
     for r in all_rows:
         print(f"{r[0]},{r[1]},{r[2]},{r[3]},{r[4]:.2f},{r[5]:.1f}")

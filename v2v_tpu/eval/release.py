@@ -179,6 +179,7 @@ SERVING_MS_PER_FRAME: List[Tuple[str, int, int, float]] = [
     ("etnet", 180, 240, 2.11), ("etnet", 720, 1280, 221.0),
     ("hyper", 180, 240, 1.68), ("hyper", 260, 346, 3.32),
     ("eraft", 260, 346, 5.27),
+    ("evflow", 180, 240, 1.16), ("evflow", 260, 346, 1.93),
 ]
 
 

@@ -45,6 +45,69 @@ def jnp_loop(z, atoms, k):
     return out
 
 
+def jnp_wpatch(z, atoms, k):
+    """Group the k^2 shift-sum into k einsums: materialize the k
+    W-shifted copies once (k*|z| HBM, vs the full k^2 patch tensor),
+    then contract (m, j) = 30 elements per output pixel per row-offset.
+    Exact reassociation of jnp_loop (f32 accumulation throughout)."""
+    b, h, w, m, co = z.shape
+    p = k // 2
+    zp = jnp.pad(z, ((0, 0), (p, p), (p, p), (0, 0), (0, 0)))
+    # zw[b, y, x, j, m, o] = zp[b, y, x + j, m, o]  (y over padded rows)
+    zw = jnp.stack([zp[:, :, j:j + w] for j in range(k)], axis=3)
+    out = jnp.zeros((b, h, w, co), jnp.float32)
+    for i in range(k):
+        a = atoms[..., i * k:(i + 1) * k]          # (B,H,W,M,k_w)
+        out = out + jnp.einsum(
+            "bhwmj,bhwjmo->bhwo", a, zw[:, i:i + h],
+            preferred_element_type=jnp.float32)
+    return out
+
+
+def jnp_allpatch(z, atoms, k):
+    """One einsum over the materialized k^2 patch tensor (the contraction
+    is (l, m) = 150 elements per pixel; the patch tensor is k^2*|z| --
+    what the round-4 reorder deliberately avoided, re-tested here at the
+    contracted width where it is k^2*18.9 MB bf16, not k^2*157 MB)."""
+    b, h, w, m, co = z.shape
+    p = k // 2
+    zp = jnp.pad(z, ((0, 0), (p, p), (p, p), (0, 0), (0, 0)))
+    zs = jnp.stack([zp[:, i:i + h, j:j + w]
+                    for i in range(k) for j in range(k)], axis=3)
+    return jnp.einsum("bhwml,bhwlmo->bhwo", atoms, zs,
+                      preferred_element_type=jnp.float32)
+
+
+def _shift_mats(k, n, dtype):
+    import numpy as np
+    p = k // 2
+    s = np.zeros((k, n, n), np.float32)
+    for i in range(k):
+        for y in range(n):
+            yy = y + i - p
+            if 0 <= yy < n:
+                s[i, y, yy] = 1.0
+    return jnp.asarray(s, dtype)
+
+
+def jnp_matshift(z, atoms, k):
+    """All k^2 shifted copies built by banded shift-matrix matmuls (the
+    ERAFT-lookup/TC-warp trick): every read is aligned, the copies come
+    out of two MXU contractions instead of 25 pad+slice chains, and the
+    weighted reduction is one einsum. Exact: the shift matrices are 0/1
+    banded (zero padding outside the frame)."""
+    b, h, w, m, co = z.shape
+    sh = _shift_mats(k, h, z.dtype)
+    sw = _shift_mats(k, w, z.dtype)
+    # zr[b,i,y,x,m,o] = zp[b, y+i-p, x, m, o]
+    zr = jnp.einsum("iyY,bYxmo->biyxmo", sh, z)
+    # zs[b,i,j,y,x,m,o] = zp[b, y+i-p, x+j-p, m, o]
+    zs = jnp.einsum("jxX,biyXmo->bijyxmo", sw, zr)
+    a = atoms.reshape(b, h, w, m, k, k)
+    return jnp.einsum("bhwmij,bijhwmo->bhwo", a, zs,
+                      preferred_element_type=jnp.float32)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
@@ -63,7 +126,20 @@ def main():
         "pallas": lambda z_, a_: dynamic_shift_sum(z_, a_, k,
                                                    interpret=interp),
         "jnp-loop": lambda z_, a_: jnp_loop(z_, a_, k),
+        "jnp-wpatch": lambda z_, a_: jnp_wpatch(z_, a_, k),
+        "jnp-allpatch": lambda z_, a_: jnp_allpatch(z_, a_, k),
+        "jnp-matshift": lambda z_, a_: jnp_matshift(z_, a_, k),
     }
+    # parity gate first: every variant must match the reference loop
+    ref = jax.jit(lambda z_, a_: jnp_loop(z_, a_, k))(z, atoms)
+    for name, f in impls.items():
+        if name == "pallas":
+            continue
+        got = jax.jit(f)(z, atoms)
+        err = float(jnp.max(jnp.abs(got - ref)) / (jnp.max(jnp.abs(ref))
+                                                   + 1e-12))
+        assert err < 5e-3, (name, err)
+        print(f"  parity {name:12s} max rel err {err:.2e}", flush=True)
     for name, f in impls.items():
         def fwd(v, i):
             out = f(v + (1e-6 * i).astype(v.dtype), atoms)

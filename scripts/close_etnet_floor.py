@@ -51,10 +51,26 @@ from v2v_tpu.utils.compile_cache import maybe_enable  # noqa: E402
 import bench_full_step as BFS  # noqa: E402
 
 
-def measure_step(flow, steps):
+def _nolpips_config():
+    """Temp copy of the etnet config with lpips_weight 0 (and zeros
+    teacher via --flow): S_zeros - S_nolpips = the LPIPS row as XLA
+    schedules it inside the fused step."""
+    import yaml
+    src = os.path.join(REPO, "configs", "train_v2v_etnet_10k.yaml")
+    with open(src) as f:
+        cfg = yaml.safe_load(f)
+    cfg["module"]["loss"]["lpips_weight"] = 0
+    dst = os.path.join("/tmp", "train_v2v_etnet_10k_nolpips.yaml")
+    with open(dst, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return dst
+
+
+def measure_step(flow, steps, config=None):
     """Median s/step of the full fused etnet train step."""
     args = argparse.Namespace(
-        config=os.path.join(REPO, "configs", "train_v2v_etnet_10k.yaml"),
+        config=config or os.path.join(REPO, "configs",
+                                      "train_v2v_etnet_10k.yaml"),
         lpips_remat="full", remat_policy="full", chunk=0, steps=steps,
         scan_split="on", flow=flow, flops=False, flops_only=False,
         ab_split=False)
@@ -258,16 +274,24 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--lpips-split", action="store_true",
+                    help="third ablation (lpips_weight 0 + zeros "
+                         "teacher): S_zeros - S_nolpips = the LPIPS "
+                         "row in-schedule; one more fused compile")
     args = ap.parse_args()
     cache = maybe_enable()
     print(f"compile cache: {cache or 'off'}", flush=True)
 
+    s_nolpips = None
     if args.smoke:
         rows, p_model = profile_stages(True, 2)
         s_all, s_zeros, t_sim = 0.02, 0.01, 0.001
     else:
         s_all = measure_step(None, args.steps)
         s_zeros = measure_step("zeros", args.steps)
+        if args.lpips_split:
+            s_nolpips = measure_step("zeros", args.steps,
+                                     config=_nolpips_config())
         t_sim = measure_sim(args.iters)
         rows, p_model = profile_stages(False, args.iters)
 
@@ -288,6 +312,13 @@ def main():
     line("scan region = S_zeros - sim (model+LPIPS+L1+AdamW)", scan)
     line("chained model constituents P (pre+spine*T+tail)", p_model)
     line("residual = scan - P (LPIPS+L1+AdamW+fill)", residual)
+    if s_nolpips is not None:
+        line("step zeros teacher + lpips_weight 0 (S_nolpips)",
+             s_nolpips)
+        line("LPIPS row = S_zeros - S_nolpips (in-schedule delta)",
+             s_zeros - s_nolpips)
+        line("residual minus LPIPS (L1+AdamW+fill)",
+             residual - (s_zeros - s_nolpips))
     print("  closure: teacher+sim+P+residual = 100.0% by construction; "
           "every row measured this session. Cross-check: flagship's "
           "LPIPS row is ~340 ms at B=12 (etnet is B=6).", flush=True)
@@ -300,6 +331,9 @@ def main():
         "scan_ms": round(scan * 1e3, 1),
         "model_constituents_ms": round(p_model * 1e3, 1),
         "residual_lpips_l1_adam_ms": round(residual * 1e3, 1),
+        **({"s_nolpips_ms": round(s_nolpips * 1e3, 1),
+            "lpips_row_ms": round((s_zeros - s_nolpips) * 1e3, 1)}
+           if s_nolpips is not None else {}),
         "rows": {k: round(v * 1e3, 2) for k, v in rows},
         "smoke": args.smoke,
     }
